@@ -1,0 +1,406 @@
+"""Superbubble detection (replaces src/CDBG.cpp:178-846 and MyUnitig).
+
+Algorithm: Onodera-style superbubble search seeded at every
+(unitig, strand) with out-degree > 1 — a DFS over the oriented graph
+where a vertex is pushed only when all its predecessors are visited; the
+bubble closes when exactly one frontier vertex remains and nothing else
+is merely 'seen' (src/CDBG.cpp:253-372). Tips abort the bubble; cycles
+mark every involved vertex non-super.
+
+Per-unitig state replaces MyUnitig's bit flags + entrance/exit pointer
+pairs (src/MyUnitig.hpp:18-129) with numpy arrays:
+
+  flags  uint8 — same bit layout as MyUnitig::b:
+      0x01 plus-pointer-set   (is_plus_visited()  == bit CLEAR)
+      0x02 minus-pointer-set  (is_minus_visited() == bit CLEAR)
+      0x04 non_super
+      0x08 strict(minus)  0x10 strict(plus)
+      0x20 complex(minus) 0x40 complex(plus)
+  plus/minus int64 — -1 NULL, own index for 'self', else partner index.
+
+Bubble ids are assigned deterministically in unitig-id order
+(the reference single-thread numbering, src/CDBG.cpp:222-249; the
+multithread variant's fetch_add ids are nondeterministic and start at 0,
+src/CDBG.cpp:1829 — we standardize on the deterministic one).
+
+Classification (setNoBubble_ptr, src/CDBG.cpp:700-846):
+  strict ('simple')  — seen-set <= 6 and every interior unitig has the
+      entrance as its only predecessor and the exit as its only successor
+      (src/CDBG.cpp:765-788);
+  complex — seen-set > complex_size (z, default 8) (src/CDBG.cpp:789-793).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..graph.cdbg import CDBGraph, UnitigHandle
+
+NULL = -1
+
+
+class BubbleState:
+    """MyUnitig-equivalent per-unitig bubble annotation arrays."""
+
+    def __init__(self, n: int):
+        self.flags = np.zeros(n, dtype=np.uint8)
+        self.plus = np.full(n, NULL, dtype=np.int64)
+        self.minus = np.full(n, NULL, dtype=np.int64)
+
+    # --- pointer ops (MyUnitig.hpp:27-59) ---
+    def set_plus_self(self, i):
+        self.plus[i] = i
+        self.flags[i] &= 0xFE
+
+    def set_minus_self(self, i):
+        self.minus[i] = i
+        self.flags[i] &= 0xFD
+
+    def set_plus(self, i, p):
+        self.plus[i] = p
+        self.flags[i] |= 0x01
+
+    def set_minus(self, i, p):
+        self.minus[i] = p
+        self.flags[i] |= 0x02
+
+    def get_ptr(self, i, strand: bool) -> int:
+        return int(self.plus[i] if strand else self.minus[i])
+
+    def set_self(self, i, strand: bool):
+        if strand:
+            self.set_plus_self(i)
+        else:
+            self.set_minus_self(i)
+
+    # mirror of the repeated "detach partner then self-link" block
+    # (src/CDBG.cpp:554-585 et al.)
+    def detach_and_self(self, i):
+        for arr, setter in ((self.plus, True), (self.minus, False)):
+            ex = int(arr[i])
+            if ex != NULL and ex != i:
+                if int(self.plus[ex]) == i:
+                    self.set_plus_self(ex)
+                else:
+                    self.set_minus_self(ex)
+            if setter:
+                self.set_plus_self(i)
+            else:
+                self.set_minus_self(i)
+
+    # --- flag ops ---
+    def set_non_super(self, i):
+        self.flags[i] |= 0x04
+
+    def is_non_super(self, i) -> bool:
+        return bool(self.flags[i] & 0x04)
+
+    def set_strict(self, i, strand: bool):
+        self.flags[i] |= 0x10 if strand else 0x08
+
+    def is_strict(self, i, strand: bool) -> bool:
+        return bool(self.flags[i] & (0x10 if strand else 0x08))
+
+    def set_complex(self, i, strand: bool):
+        self.flags[i] |= 0x40 if strand else 0x20
+
+    def is_complex(self, i, strand: bool) -> bool:
+        return bool(self.flags[i] & (0x40 if strand else 0x20))
+
+    # --- visited semantics (inverted bits: pointer-set == NOT visited) ---
+    def is_plus_visited(self, i) -> bool:
+        return (self.flags[i] & 0x01) == 0
+
+    def is_minus_visited(self, i) -> bool:
+        return (self.flags[i] & 0x02) == 0
+
+    def is_visited(self, i, strand: bool) -> bool:
+        return self.is_plus_visited(i) if strand else self.is_minus_visited(i)
+
+    def set_visited(self, i, strand: bool):
+        if strand:
+            self.flags[i] &= 0xFE
+        else:
+            self.flags[i] &= 0xFD
+
+    def is_both_visited(self, i) -> bool:
+        return (self.flags[i] & 0x03) == 0
+
+    def bubble_exit(self, i, strand: bool) -> int:
+        """get_bubble_id analog: partner unitig index (MyUnitig.hpp:93-96)."""
+        return int(self.plus[i] if strand else self.minus[i])
+
+
+@dataclass
+class Bubble:
+    bubble_id: int
+    entrance: int  # unitig index
+    strand: bool
+    exit: int
+    strict: bool
+    complex: bool
+
+
+def _set_no_bubble_all(state: BubbleState, vec_seen, p_first, p_second):
+    """setNoBubble_ptr(vec, p) for tip/cycle-found-exit case
+    (src/CDBG.cpp:603-699): everything non-super, endpoints self-linked."""
+    pf, ps = p_first, p_second
+    i = pf.idx
+    if pf.strand:
+        ex = int(state.plus[i])
+        if ex != NULL:
+            if int(state.plus[ex]) == i:
+                state.set_plus_self(ex)
+            else:
+                state.set_minus_self(ex)
+        state.set_plus_self(i)
+    else:
+        ex = int(state.minus[i])
+        if ex != NULL:
+            if int(state.plus[ex]) == i:
+                state.set_plus_self(ex)
+            else:
+                state.set_minus_self(ex)
+        state.set_minus_self(i)
+    j = ps.idx
+    if not ps.strand:
+        ex = int(state.plus[j])
+        if ex != NULL:
+            if int(state.plus[ex]) == j:
+                state.set_plus_self(ex)
+            else:
+                state.set_minus_self(ex)
+        state.set_plus_self(j)
+    else:
+        ex = int(state.minus[j])
+        if ex != NULL:
+            if int(state.plus[ex]) == j:
+                state.set_plus_self(ex)
+            else:
+                state.set_minus_self(ex)
+        state.set_minus_self(j)
+    for ucm in vec_seen:
+        if ucm == pf or ucm == ps:
+            continue
+        state.detach_and_self(ucm.idx)
+        state.set_non_super(ucm.idx)
+
+
+def _set_no_bubble_cycle(state: BubbleState, vec_seen, p_first, p_second):
+    """setNoBubble_ptr_cycle (src/CDBG.cpp:552-602)."""
+    for ucm in vec_seen:
+        state.detach_and_self(ucm.idx)
+        state.set_non_super(ucm.idx)
+    state.set_self(p_first.idx, p_first.strand)
+    # exit: strand==false -> plus self, else minus self
+    if not p_second.strand:
+        state.set_plus_self(p_second.idx)
+    else:
+        state.set_minus_self(p_second.idx)
+
+
+def _register_bubble(
+    g: CDBGraph, state: BubbleState, vec_seen, p_first, p_second, complex_size: int
+):
+    """setNoBubble_ptr(p, vec) — the REAL-bubble registration
+    (src/CDBG.cpp:700-846)."""
+    if len(vec_seen) < 4:
+        return
+    pf, ps = p_first, p_second
+    if state.is_non_super(ps.idx) or state.is_non_super(pf.idx):
+        for ucm in vec_seen:
+            if ucm == pf:
+                state.set_self(pf.idx, pf.strand)
+                continue
+            if ucm == ps:
+                # note inverted strand handling vs the cycle variant
+                if ps.strand:
+                    state.set_minus_self(ps.idx)
+                else:
+                    state.set_plus_self(ps.idx)
+                continue
+            state.detach_and_self(ucm.idx)
+            state.set_non_super(ucm.idx)
+        return
+    if len(vec_seen) <= 6:
+        flag = True
+        for ucm in vec_seen:
+            if ucm == pf or ucm == ps:
+                continue
+            preds = ucm.predecessors()
+            succs = ucm.successors()
+            if (
+                len(preds) == 1
+                and preds[0].same_unitig(pf)
+                and len(succs) == 1
+                and succs[0].same_unitig(ps)
+            ):
+                continue
+            flag = False
+            break
+        if flag:
+            state.set_strict(pf.idx, pf.strand)
+            state.set_strict(ps.idx, not ps.strand)
+    if len(vec_seen) > complex_size:
+        state.set_complex(pf.idx, pf.strand)
+        state.set_complex(ps.idx, not ps.strand)
+    for ucm in vec_seen:
+        if ucm == pf or ucm == ps:
+            continue
+        state.detach_and_self(ucm.idx)
+        state.set_non_super(ucm.idx)
+    if pf.strand:
+        state.set_plus(pf.idx, ps.idx)
+    else:
+        state.set_minus(pf.idx, ps.idx)
+    if ps.strand:
+        state.set_minus(ps.idx, pf.idx)
+    else:
+        state.set_plus(ps.idx, pf.idx)
+
+
+def extract_superbubble(
+    g: CDBGraph, state: BubbleState, s: UnitigHandle, complex_size: int
+):
+    """extractSuperBubble_ptr (src/CDBG.cpp:253-415)."""
+    flag_cycle = False
+    flag_tip = False
+    vertices_visit: list[UnitigHandle] = []
+    vec_km_seen: list[UnitigHandle] = []
+    state_map: dict[int, int] = {}
+    strand_map: dict[int, bool] = {}
+    cycle_set: set[UnitigHandle] = set()
+    v = s
+    vertices_visit.append(v)
+    vec_km_seen.append(v)
+    while vertices_visit:
+        v = vertices_visit.pop()
+        state_map[v.idx] = 0x01
+        strand_map[v.idx] = v.strand
+        succs = v.successors()
+        if not succs:
+            flag_tip = True
+        else:
+            for u in succs:
+                if u == s:
+                    flag_cycle = True
+                    cycle_set.add(s)
+                    cycle_set.add(v)
+                    continue
+                if state_map.get(u.idx) != 0x01:
+                    if u.idx not in state_map:
+                        vec_km_seen.append(u)
+                        strand_map[u.idx] = u.strand
+                    else:
+                        if strand_map[u.idx] != u.strand:
+                            flag_cycle = True
+                            cycle_set.add(u)
+                            cycle_set.add(v)
+                    state_map[u.idx] = 0x02
+                    all_pred_visited = True
+                    for pred in u.predecessors():
+                        if pred.idx in state_map:
+                            if state_map[pred.idx] != 0x01:
+                                all_pred_visited = False
+                            if strand_map[pred.idx] != pred.strand:
+                                flag_cycle = True
+                                cycle_set.add(u)
+                                cycle_set.add(pred)
+                        else:
+                            all_pred_visited = False
+                    if all_pred_visited:
+                        vertices_visit.append(u)
+                else:
+                    flag_cycle = True
+                    cycle_set.add(v)
+                    cycle_set.add(u)
+        if len(vertices_visit) == 1:
+            not_seen = True
+            for cucm in vec_km_seen:
+                if cucm != vertices_visit[0]:
+                    if state_map[cucm.idx] == 0x02:
+                        not_seen = False
+                        break
+            if not_seen:
+                p_first = s
+                p_second = vertices_visit[0]
+                for succ in vertices_visit[0].successors():
+                    if succ == s:
+                        _set_no_bubble_cycle(state, vec_km_seen, p_first, p_second)
+                        return
+                if flag_cycle or flag_tip:
+                    _set_no_bubble_all(state, vec_km_seen, p_first, p_second)
+                    return
+                _register_bubble(
+                    g, state, vec_km_seen, p_first, p_second, complex_size
+                )
+                return
+    if flag_cycle:
+        for ucm in cycle_set:
+            state.detach_and_self(ucm.idx)
+            state.set_non_super(ucm.idx)
+        state.set_self(s.idx, s.strand)
+    return
+
+
+def find_superbubbles(
+    g: CDBGraph, complex_size: int = 8
+) -> tuple[BubbleState, list[Bubble]]:
+    """findSuperBubble over the whole graph (src/CDBG.cpp:178-252):
+    seeds in iteration order, then a deterministic listing pass assigning
+    ids 1..N in unitig order (plus strand before minus)."""
+    state = BubbleState(len(g))
+    for i in range(len(g)):
+        if g.out_degree(i, True) > 1 and state.get_ptr(i, True) == NULL:
+            extract_superbubble(g, state, g.handle(i, True), complex_size)
+        if g.out_degree(i, False) > 1 and state.get_ptr(i, False) == NULL:
+            extract_superbubble(g, state, g.handle(i, False), complex_size)
+    bubbles = []
+    nb = 0
+    for i in range(len(g)):
+        if state.is_both_visited(i):
+            continue
+        if not state.is_plus_visited(i):
+            nb += 1
+            bubbles.append(
+                Bubble(
+                    nb,
+                    i,
+                    True,
+                    int(state.plus[i]),
+                    state.is_strict(i, True),
+                    state.is_complex(i, True),
+                )
+            )
+        if not state.is_minus_visited(i):
+            nb += 1
+            bubbles.append(
+                Bubble(
+                    nb,
+                    i,
+                    False,
+                    int(state.minus[i]),
+                    state.is_strict(i, False),
+                    state.is_complex(i, False),
+                )
+            )
+    return state, bubbles
+
+
+def write_superbubble_file(
+    g: CDBGraph, bubbles: list[Bubble], outpre: str, outdir: str = "PloidyFrost_output"
+):
+    """_super_bubble.txt (src/CDBG.cpp:221-249)."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, outpre + "_super_bubble.txt"), "w") as f:
+        f.write("BubbleId\tEntrance\tStrand\tExit\tisSimple\tisComplex\n")
+        for b in bubbles:
+            f.write(
+                f"{b.bubble_id}\t{int(g.ids[b.entrance])}\t"
+                f"{'+' if b.strand else '-'}\t{int(g.ids[b.exit])}\t"
+                f"{1 if b.strict else 0}\t{1 if b.complex else 0}\n"
+            )

@@ -1,0 +1,257 @@
+"""Compacted de Bruijn graph: import, adjacency, iteration order.
+
+Replaces the CompactedDBG<MyUnitig> role for the analysis phase
+(bifrost/src/CompactedDBG.hpp:397-599): holds unitigs, answers
+successor/predecessor queries, and assigns unitig ids.
+
+Semantics matched to Bifrost for output parity:
+
+  * iteration order: long unitigs (length > k) in insertion order first,
+    then k-length unitigs (bifrost/src/UnitigIterator.tcc:33-58:
+    v_unitigs, then km_unitigs, then h_kmers_ccov). GFA import inserts
+    in file order, so iteration = file order within each class.
+  * neighbor enumeration: for each base in A,C,G,T order, look up the
+    k-mer formed by (k-1)-suffix + base; the successor's orientation is
+    the one where that k-mer is its first k-mer
+    (bifrost/src/NeighborIterator.tcc:24-47, alpha = "ACGT",
+    Common.hpp:34).
+  * predecessors of (u, s) are the successors of (u, !s) with flipped
+    orientation, enumerated in backwardBase A..T order — which equals the
+    reverse of the succ(u,!s) enumeration (b prepended == comp(b)
+    appended on the twin).
+
+Adjacency is precomputed into dense arrays (2 strands x 4 bases per
+unitig) — the CSR form consumed by the batched bubble search and by the
+device coverage gathers. No hash walks at query time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kmer.pack import encode_bases
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def revcomp(s: str) -> str:
+    return s[::-1].translate(_COMP)
+
+
+class UnitigHandle:
+    """(unitig index, strand) — the UnitigMap analog.
+
+    strand True = reference orientation (UnitigMap.hpp:34-67).
+    """
+
+    __slots__ = ("g", "idx", "strand")
+
+    def __init__(self, g: "CDBGraph", idx: int, strand: bool):
+        self.g = g
+        self.idx = idx
+        self.strand = strand
+
+    # equality INCLUDES strand, like UnitigMap::operator== on full maps
+    def __eq__(self, o):
+        return self.idx == o.idx and self.strand == o.strand
+
+    def __hash__(self):
+        return hash((self.idx, self.strand))
+
+    def same_unitig(self, o) -> bool:
+        """isSameReferenceUnitig (UnitigMap.hpp:283-288)."""
+        return self.idx == o.idx
+
+    @property
+    def seq(self) -> str:
+        """referenceUnitigToString()."""
+        return self.g.seqs[self.idx]
+
+    @property
+    def mapped_seq(self) -> str:
+        """mappedSequenceToString(): oriented along the handle's strand."""
+        s = self.g.seqs[self.idx]
+        return s if self.strand else revcomp(s)
+
+    @property
+    def size(self) -> int:
+        """unitig length in bases (UnitigMap.size)."""
+        return len(self.g.seqs[self.idx])
+
+    @property
+    def length(self) -> int:
+        """number of k-mers (UnitigMap.len for a full mapping)."""
+        return len(self.g.seqs[self.idx]) - self.g.k + 1
+
+    def rev(self) -> "UnitigHandle":
+        return UnitigHandle(self.g, self.idx, not self.strand)
+
+    def successors(self) -> list["UnitigHandle"]:
+        return self.g.successors(self.idx, self.strand)
+
+    def predecessors(self) -> list["UnitigHandle"]:
+        return self.g.predecessors(self.idx, self.strand)
+
+    def __repr__(self):
+        return f"UnitigHandle({self.idx}, {'+' if self.strand else '-'})"
+
+
+class CDBGraph:
+    """Unitig set + adjacency. Build from unitig strings (native
+    construction, graph/construct.py) or import a Bifrost GFA."""
+
+    def __init__(self, seqs: list[str], k: int, g: int | None = None):
+        self.k = k
+        self.g = g if g is not None else min(k - 2, 23)  # Bifrost default minimizer len
+        # Bifrost iteration order: long unitigs first, then k-length
+        # (UnitigIterator.tcc:33-58)
+        long_seqs = [s for s in seqs if len(s) > k]
+        km_seqs = [s for s in seqs if len(s) == k]
+        bad = [s for s in seqs if len(s) < k]
+        if bad:
+            raise ValueError(f"unitig shorter than k: {bad[0]!r}")
+        self.seqs: list[str] = long_seqs + km_seqs
+        self.n = len(self.seqs)
+        # ids assigned by setUnitigId (1-based, iteration order;
+        # src/CDBG.cpp:121-143)
+        self.ids = np.arange(1, self.n + 1, dtype=np.int64)
+        self._build_adjacency()
+
+    # -- adjacency -------------------------------------------------------
+
+    def _build_adjacency(self):
+        k = self.k
+        # entry k-mer -> (unitig, strand): the k-mer at which a traversal
+        # enters the unitig in that orientation
+        entry: dict[str, tuple[int, bool]] = {}
+        for i, s in enumerate(self.seqs):
+            head = s[:k]
+            tail_rc = revcomp(s[-k:])
+            if head not in entry:
+                entry[head] = (i, True)
+            if tail_rc not in entry:
+                entry[tail_rc] = (i, False)
+        # succ[i, strand, base] = packed successor (idx*2 + strand) or -1
+        succ = np.full((self.n, 2, 4), -1, dtype=np.int64)
+        for i, s in enumerate(self.seqs):
+            for strand, oriented in ((True, s), (False, revcomp(s))):
+                suffix = oriented[-(k - 1) :]
+                for bi, b in enumerate("ACGT"):
+                    hit = entry.get(suffix + b)
+                    if hit is not None:
+                        j, st = hit
+                        succ[i, int(strand), bi] = j * 2 + int(st)
+        self._succ = succ
+        self._out_deg = (succ >= 0).sum(axis=2)
+
+    def handle(self, idx: int, strand: bool = True) -> UnitigHandle:
+        return UnitigHandle(self, idx, strand)
+
+    def successors(self, idx: int, strand: bool) -> list[UnitigHandle]:
+        out = []
+        for packed in self._succ[idx, int(strand)]:
+            if packed >= 0:
+                out.append(UnitigHandle(self, int(packed) // 2, bool(packed & 1)))
+        return out
+
+    def out_degree(self, idx: int, strand: bool) -> int:
+        return int(self._out_deg[idx, int(strand)])
+
+    def predecessors(self, idx: int, strand: bool) -> list[UnitigHandle]:
+        """Predecessors of (idx, strand), in Bifrost's backwardBase A..T
+        order == reversed twin-successor order, orientations flipped."""
+        rev_succ = self.successors(idx, not strand)
+        return [h.rev() for h in reversed(rev_succ)]
+
+    def in_degree(self, idx: int, strand: bool) -> int:
+        return int(self._out_deg[idx, int(not strand)])
+
+    # -- iteration & info ---------------------------------------------------
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield UnitigHandle(self, i, True)
+
+    def __len__(self):
+        return self.n
+
+    def nb_kmers(self) -> int:
+        return sum(len(s) - self.k + 1 for s in self.seqs)
+
+    def total_length(self) -> int:
+        return sum(len(s) for s in self.seqs)
+
+    # -- io -----------------------------------------------------------------
+
+    @classmethod
+    def from_gfa(cls, path: str) -> "CDBGraph":
+        """Import a Bifrost-written GFA (S lines carry full unitig
+        sequences; k comes from the KL:Z header tag,
+        bifrost/src/CompactedDBG.tcc:7486)."""
+        k = None
+        g = None
+        seqs = []
+        import gzip
+
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rt") as f:
+            for line in f:
+                if not line:
+                    continue
+                if line[0] == "H":
+                    for tag in line.rstrip("\n").split("\t")[1:]:
+                        if tag.startswith("KL:Z:"):
+                            k = int(tag[5:])
+                        elif tag.startswith("ML:Z:"):
+                            g = int(tag[5:])
+                elif line[0] == "S":
+                    parts = line.rstrip("\n").split("\t")
+                    seqs.append(parts[2].upper())
+        if k is None:
+            raise ValueError(f"no KL:Z k-mer-length tag in GFA header of {path}")
+        return cls(seqs, k, g)
+
+    def write_gfa(self, path: str, bfg_version: str = "1.0.6"):
+        """Bifrost-layout GFA: header with BV/KL/ML tags, S lines with
+        sequences, L lines with (k-1)-overlaps (CompactedDBG.tcc:7479+)."""
+        k = self.k
+        with open(path, "w") as f:
+            f.write(
+                f"H\tVN:Z:1.0\tBV:Z:{bfg_version}\tKL:Z:{k}\tML:Z:{self.g}\n"
+            )
+            for i, s in enumerate(self.seqs):
+                f.write(f"S\t{i + 1}\t{s}\tLN:i:{len(s)}\n")
+            for i in range(self.n):
+                for strand in (True, False):
+                    for h in self.successors(i, strand):
+                        # emit each edge once from the forward perspective
+                        f.write(
+                            "L\t{}\t{}\t{}\t{}\t{}M\n".format(
+                                i + 1,
+                                "+" if strand else "-",
+                                h.idx + 1,
+                                "+" if h.strand else "-",
+                                k - 1,
+                            )
+                        )
+
+    # -- reference-parity outputs -----------------------------------------
+
+    def set_unitig_id(self, outpre: str, outdir: str = "PloidyFrost_output"):
+        """setUnitigId (src/CDBG.cpp:121-143): sequential ids 1..N in
+        iteration order + {outdir}/{outpre}_Unitig_Id.txt."""
+        import os
+
+        os.makedirs(outdir, exist_ok=True)
+        with open(os.path.join(outdir, outpre + "_Unitig_Id.txt"), "w") as f:
+            for i, s in enumerate(self.seqs):
+                f.write(f"{i + 1}\t{s}\n")
+
+    def write_graph_info(self, outpre: str):
+        """printInfo (src/CDBG.cpp:144-162): {outpre}_graph_info.txt."""
+        with open(outpre + "_graph_info.txt", "w") as f:
+            f.write(f"k:{self.k}\t")
+            f.write(f"g:{self.g}\t")
+            f.write(f"nbKmer:{self.nb_kmers()}\t")
+            f.write(f"nbUnitig:{self.n}\t")
+            f.write(f"length:{self.total_length()}\t")

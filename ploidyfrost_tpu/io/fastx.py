@@ -1,0 +1,115 @@
+"""FASTA/FASTQ (optionally gzipped) readers producing fixed-shape batches.
+
+Replaces the role of bifrost/src/{FASTX_Parser,File_Parser,kseq.h}: the
+host side streams sequences and packs them into padded [B, L] uint8 code
+arrays (0..3 = ACGT, 4 = N/padding) that feed the device k-mer pipeline
+with static shapes. Reads longer than the batch width are split into
+overlapping segments (k-1 overlap) so no k-mer is lost at a seam.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+import numpy as np
+
+from ..kmer.pack import INVALID_BASE, encode_bases
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def iter_sequences(path: str) -> Iterator[bytes]:
+    """Yield raw sequence bytes from a FASTA or FASTQ file (gz ok)."""
+    with _open(path) as f:
+        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if not first:
+            line = f.readline()
+            if not line:
+                return
+            first = line[:1]
+            rest = _iter_from(f, line)
+            yield from rest
+            return
+        if first == b">":
+            # FASTA: concatenate wrapped lines per record
+            seq_parts: list[bytes] = []
+            for line in f:
+                line = line.rstrip()
+                if line.startswith(b">"):
+                    if seq_parts:
+                        yield b"".join(seq_parts)
+                        seq_parts = []
+                else:
+                    seq_parts.append(line)
+            if seq_parts:
+                yield b"".join(seq_parts)
+        elif first == b"@":
+            # FASTQ: 4-line records
+            while True:
+                hdr = f.readline()
+                if not hdr:
+                    break
+                seq = f.readline().rstrip()
+                f.readline()  # +
+                f.readline()  # qual
+                if seq:
+                    yield seq
+        else:
+            raise ValueError(f"unrecognized FASTX format in {path}")
+
+
+def _iter_from(f, firstline: bytes) -> Iterator[bytes]:
+    if firstline.startswith(b">"):
+        seq_parts: list[bytes] = []
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(b">"):
+                if seq_parts:
+                    yield b"".join(seq_parts)
+                    seq_parts = []
+            else:
+                seq_parts.append(line)
+        if seq_parts:
+            yield b"".join(seq_parts)
+    else:
+        raise ValueError("unsupported stream")
+
+
+def read_batches(
+    paths: list[str] | str,
+    k: int,
+    batch_reads: int = 4096,
+    max_len: int = 512,
+) -> Iterator[np.ndarray]:
+    """Yield [batch_reads, max_len] uint8 code batches from FASTX files.
+
+    Sequences longer than max_len are tiled into windows overlapping by
+    k-1 bases. Padding uses INVALID_BASE so padded windows produce no
+    valid k-mers.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    buf = np.full((batch_reads, max_len), INVALID_BASE, dtype=np.uint8)
+    row = 0
+    for path in paths:
+        for seq in iter_sequences(path):
+            codes = encode_bases(seq)
+            n = len(codes)
+            step = max_len - (k - 1)
+            for start in range(0, max(n - k + 1, 1), step):
+                chunk = codes[start : start + max_len]
+                if len(chunk) < k:
+                    break
+                buf[row, : len(chunk)] = chunk
+                row += 1
+                if row == batch_reads:
+                    yield buf
+                    buf = np.full((batch_reads, max_len), INVALID_BASE, dtype=np.uint8)
+                    row = 0
+    if row:
+        yield buf

@@ -1,0 +1,182 @@
+"""Unit tests for k-mer packing, counting, and cutoff heuristics."""
+
+import numpy as np
+import pytest
+
+from ploidyfrost_tpu.kmer.pack import (
+    INVALID_BASE,
+    batch_kmers,
+    canonical_kmers,
+    decode_kmers,
+    encode_bases,
+    encode_kmer_string,
+    revcomp_kmers,
+    sequence_kmers,
+)
+from ploidyfrost_tpu.kmer.count import KmerCounter
+from ploidyfrost_tpu.kmer.countdb import KmerCountDB
+from ploidyfrost_tpu.kmer.cutoffs import (
+    cutoff_lower_from_counts,
+    cutoff_upper_from_counts,
+)
+
+
+def revcomp_str(s):
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def test_encode_decode_roundtrip():
+    s = "ACGTTGCAAACCGGT"
+    k = len(s)
+    v = encode_kmer_string(s)
+    assert decode_kmers(np.array([v], dtype=np.uint64), k) == [s]
+
+
+def test_encode_lexicographic_order():
+    # numeric order of packed k-mers == string order
+    kmers = ["AAAC", "AACA", "ACGT", "CAAA", "TTTT"]
+    vals = [encode_kmer_string(s) for s in kmers]
+    assert vals == sorted(vals)
+
+
+@pytest.mark.parametrize("k", [3, 11, 25, 31])
+def test_revcomp_matches_string(k):
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        s = "".join(rng.choice(list("ACGT"), size=k))
+        v = np.array([encode_kmer_string(s)], dtype=np.uint64)
+        rc = revcomp_kmers(v, k)
+        assert decode_kmers(np.asarray(rc), k) == [revcomp_str(s)]
+
+
+def test_canonical_is_min():
+    k = 7
+    s = "GATTACA"
+    v = np.array([encode_kmer_string(s)], dtype=np.uint64)
+    canon = canonical_kmers(v, k)
+    expect = min(encode_kmer_string(s), encode_kmer_string(revcomp_str(s)))
+    assert int(canon[0]) == expect
+
+
+def test_sequence_kmers_with_invalid():
+    s = "ACGTNACGT"
+    codes = encode_bases(s)[None, :]
+    k = 3
+    kmers, valid = sequence_kmers(codes, k)
+    assert kmers.shape == (1, 7)
+    # windows covering the N (positions 2,3,4 start indices) are invalid
+    expect_valid = [True, True, False, False, False, True, True]
+    assert list(np.asarray(valid[0])) == expect_valid
+    assert decode_kmers(np.asarray(kmers[0][valid[0]]), k) == ["ACG", "CGT", "ACG", "CGT"]
+
+
+def brute_force_counts(reads, k):
+    from collections import Counter
+
+    c = Counter()
+    for r in reads:
+        for i in range(len(r) - k + 1):
+            w = r[i : i + k]
+            if set(w) <= set("ACGT"):
+                c[min(w, revcomp_str(w))] += 1
+    return c
+
+
+def test_counter_matches_bruteforce():
+    rng = np.random.default_rng(42)
+    k = 5
+    reads = [
+        "".join(rng.choice(list("ACGTN"), p=[0.24, 0.24, 0.24, 0.24, 0.04], size=40))
+        for _ in range(50)
+    ]
+    counter = KmerCounter(k)
+    L = max(len(r) for r in reads)
+    batch = np.full((len(reads), L), INVALID_BASE, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        batch[i, : len(r)] = encode_bases(r)
+    counter.add_reads(batch)
+    km, ct = counter.arrays()
+    got = dict(zip(decode_kmers(np.asarray(km), k), np.asarray(ct).tolist()))
+    assert got == dict(brute_force_counts(reads, k))
+
+
+def test_counter_streaming_merge():
+    k = 4
+    counter = KmerCounter(k)
+    rng = np.random.default_rng(1)
+    reads_all = []
+    for _ in range(5):
+        reads = ["".join(rng.choice(list("ACGT"), size=30)) for _ in range(20)]
+        reads_all += reads
+        batch = np.stack([encode_bases(r) for r in reads])
+        counter.add_reads(batch)
+    km, ct = counter.arrays()
+    got = dict(zip(decode_kmers(np.asarray(km), k), np.asarray(ct).tolist()))
+    expect = brute_force_counts(reads_all, k)
+    # counter saturates at counter_max like KMC -cs
+    expect = {s: min(c, counter.counter_max) for s, c in expect.items()}
+    assert got == dict(expect)
+
+
+def test_countdb_lookup_strings():
+    k = 4
+    counter = KmerCounter(k)
+    reads = ["ACGTACGTAC", "TTTTACGTAA"]
+    batch = np.full((2, 10), INVALID_BASE, np.uint8)
+    for i, r in enumerate(reads):
+        batch[i, : len(r)] = encode_bases(r)
+    counter.add_reads(batch)
+    db = KmerCountDB.from_counter(counter)
+    bf = brute_force_counts(reads, k)
+    res = db.lookup_strings(["ACGTA", "TTTT"])
+    assert list(res[0]) == [
+        bf[min("ACGT", revcomp_str("ACGT"))],
+        bf[min("CGTA", revcomp_str("CGTA"))],
+    ]
+    assert list(res[1]) == [bf[min("TTTT", revcomp_str("TTTT"))]]
+    with pytest.raises(KeyError):
+        db.lookup_strings(["GGGG"])
+
+
+def test_histogram():
+    k = 3
+    counter = KmerCounter(k)
+    batch = encode_bases("AAAAA")[None, :]  # AAA x3 canonical
+    counter.add_reads(batch)
+    hist = counter.histogram(10)
+    assert hist[3] == 1
+    assert hist.sum() == 1
+
+
+# --- cutoffs: exact ports of src/Main.cpp:200-277 ---------------------
+
+def test_cutoff_lower_valley():
+    # histogram falling then rising: valley at index 3 (cov 4)
+    counts = [100, 50, 20, 10, 15, 30, 10]
+    # scan: first i with v[i-1] < v[i] is i=4 -> round(1.25*3) = 4
+    assert cutoff_lower_from_counts(counts) == 4
+
+
+def test_cutoff_lower_monotonic():
+    counts = [5, 4, 3, 2, 1]
+    # never rises: peak = len = 5 -> round(1.25*4) = 5
+    assert cutoff_lower_from_counts(counts) == 5
+
+
+def test_cutoff_upper_quantile():
+    counts = [1000, 10, 10, 10, 10, 10, 10, 10, 10, 10]
+    # cum (with leading 0): [0,1000,1010,...,1090]; baseline v[1]=1000
+    # cf = 0.5*(1090-1000)+1000 = 1045 -> first pp with cum>1045 is 6
+    assert cutoff_upper_from_counts(counts, 0.5) == 6
+
+
+def test_cutoff_roundtrip_files(tmp_path):
+    from ploidyfrost_tpu.kmer.cutoffs import cutoff_lower, cutoff_upper
+
+    p = tmp_path / "hist.txt"
+    counts = [100, 50, 20, 10, 15, 30, 10]
+    p.write_text("".join(f"{i+1}\t{c}\n" for i, c in enumerate(counts)))
+    assert cutoff_lower(str(p)) == 4
+    # cf = 0.998*(235-100)+100 = 234.73; cum=[0,100,150,170,180,195,225,235]
+    # first cum>cf is index 7
+    assert cutoff_upper(str(p), 0.998) == 7
