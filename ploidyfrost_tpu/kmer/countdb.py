@@ -40,8 +40,19 @@ class KmerCountDB:
 
     def __init__(self, kmers: jnp.ndarray, counts: jnp.ndarray, k: int):
         self.k = k
-        self._km = jnp.asarray(kmers, dtype=jnp.uint64)
-        self._ct = jnp.asarray(counts, dtype=jnp.int64)
+        km = np.asarray(kmers, dtype=np.uint64)
+        ct = np.asarray(counts, dtype=np.int64)
+        self._n = len(km)
+        # pad the table to a power of two so the jitted searchsorted
+        # program is reused across database sizes (pad keys are u64 max,
+        # above any canonical k-mer for k <= 31, so they never match)
+        cap = 1 << max(self._n - 1, 1).bit_length()
+        kmp = np.full(cap, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        ctp = np.zeros(cap, dtype=np.int64)
+        kmp[: self._n] = km
+        ctp[: self._n] = ct
+        self._km = jnp.asarray(kmp)
+        self._ct = jnp.asarray(ctp)
 
     @classmethod
     def from_counter(cls, counter: KmerCounter, min_count: int = 1):
@@ -53,30 +64,38 @@ class KmerCountDB:
         return cls(km, ct, counter.k)
 
     def __len__(self):
-        return int(self._km.shape[0])
+        return self._n
 
     def lookup(self, queries: jnp.ndarray):
-        """counts, found  for a flat batch of packed (any-strand) k-mers."""
-        q = jnp.asarray(queries, dtype=jnp.uint64).ravel()
-        counts, hit = _lookup(self._km, self._ct, q, self.k)
-        return np.asarray(counts), np.asarray(hit)
+        """counts, found  for a flat batch of packed (any-strand) k-mers.
+
+        Queries are padded to power-of-two buckets so the jitted
+        searchsorted program is reused across call shapes."""
+        q = np.asarray(queries, dtype=np.uint64).ravel()
+        n = len(q)
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, bool)
+        cap = 1 << max(n - 1, 1).bit_length()
+        qp = np.zeros(cap, dtype=np.uint64)
+        qp[:n] = q
+        counts, hit = _lookup(self._km, self._ct, jnp.asarray(qp), self.k)
+        return np.asarray(counts)[:n], np.asarray(hit)[:n]
 
     def lookup_strings(self, strings: list[str]):
         """Per-string k-mer counts: returns list of int arrays, one per
         string, with the count of every k-mer window (replaces
         CDBG::readCov's per-window loop, src/CDBG.cpp:29-60)."""
+        from .pack import string_kmers_np
+
         if not strings:
             return []
         spans = []
         all_kmers = []
         for s in strings:
-            codes = jnp.asarray(encode_bases(s))[None, :]
-            km, valid = sequence_kmers(codes, self.k)
-            if not bool(valid.all()):
-                raise ValueError(f"invalid base in query string {s!r}")
-            spans.append(km.shape[-1])
-            all_kmers.append(np.asarray(km[0]))
-        flat = jnp.asarray(np.concatenate(all_kmers))
+            km = string_kmers_np(s, self.k)
+            spans.append(len(km))
+            all_kmers.append(km)
+        flat = np.concatenate(all_kmers)
         counts, hit = self.lookup(flat)
         if not hit.all():
             missing = int(np.argmin(hit))

@@ -60,6 +60,55 @@ def decode_kmers(kmers, k: int) -> list[str]:
     return out
 
 
+def revcomp_np(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Host (numpy) reverse complement of packed k-mers."""
+    x = (~np.asarray(kmers, dtype=np.uint64)).astype(np.uint64)
+    for shift, mask in (
+        (2, 0x3333333333333333),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (8, 0x00FF00FF00FF00FF),
+        (16, 0x0000FFFF0000FFFF),
+    ):
+        m = np.uint64(mask)
+        s = np.uint64(shift)
+        x = ((x >> s) & m) | ((x & m) << s)
+    x = (x >> np.uint64(32)) | (x << np.uint64(32))
+    return x >> np.uint64(64 - 2 * k)
+
+
+def canonical_np(kmers: np.ndarray, k: int) -> np.ndarray:
+    km = np.asarray(kmers, dtype=np.uint64)
+    return np.minimum(km, revcomp_np(km, k))
+
+
+def sequence_kmers_np(codes: np.ndarray, k: int):
+    """Host (numpy) variant of sequence_kmers for a single [L] code
+    array: returns (kmers [L-k+1] uint64, valid bool). Used by the
+    host-side string paths (window/unitig coverage) where per-length jit
+    compiles would dominate."""
+    codes = np.asarray(codes)
+    L = codes.shape[-1]
+    n = L - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc << np.uint64(2)) | (
+            codes[j : j + n].astype(np.uint64) & np.uint64(3)
+        )
+    bad = (codes >= INVALID_BASE).astype(np.int32)
+    cum = np.cumsum(bad)
+    hi = cum[k - 1 :]
+    lo = np.concatenate([[0], cum[: n - 1]])
+    return acc, (hi - lo) == 0
+
+
+def string_kmers_np(s: str, k: int) -> np.ndarray:
+    """All (forward-strand) k-mers of an ACGT string, host-side."""
+    km, valid = sequence_kmers_np(encode_bases(s), k)
+    if not valid.all():
+        raise ValueError(f"invalid base in sequence {s[:50]!r}")
+    return km
+
+
 def revcomp_kmers(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     """Reverse complement of packed k-mers, fully vectorized bit-twiddling.
 

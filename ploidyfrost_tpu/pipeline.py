@@ -1,0 +1,257 @@
+"""End-to-end analysis drivers: the main `run` subcommand and the
+native `build` / `pipeline` subcommands.
+
+`run_analysis` is the TPU-native replacement of the reference main path
+(src/Main.cpp:817-853): load graph -> setUnitigId -> printInfo ->
+findSuperBubble -> ploidyEstimation. Coverage resolution is batched onto
+the device (see sites/emit.py for the two-pass structure); everything
+else is deterministic host orchestration.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str):
+    print(msg, flush=True)
+
+
+def load_count_db(path: str, k: int):
+    """Load a k-mer count table: our .npz (from `count`) or a KMC
+    database prefix (.kmc_pre/.kmc_suf, io/kmc.py)."""
+    from .kmer.countdb import KmerCountDB
+
+    if path.endswith(".npz") and os.path.exists(path):
+        z = np.load(path)
+        if int(z["k"]) != k:
+            raise SystemExit(
+                f"Error: count table k={int(z['k'])} != graph k={k}"
+            )
+        return KmerCountDB(z["kmers"], z["counts"], k)
+    if os.path.exists(path + ".npz"):
+        return load_count_db(path + ".npz", k)
+    if os.path.exists(path + ".kmc_pre") or path.endswith(".kmc_pre"):
+        from .io.kmc import read_kmc_db
+
+        prefix = path[: -len(".kmc_pre")] if path.endswith(".kmc_pre") else path
+        km, ct, kk = read_kmc_db(prefix)
+        if kk != k:
+            raise SystemExit(f"Error: KMC database k={kk} != graph k={k}")
+        return KmerCountDB(km, ct, k)
+    raise SystemExit(f"Error: Please input the correct kmc database path: {path}")
+
+
+def unitig_coverage(db, g):
+    """Batched readCov(u) for every unitig (src/CDBG.cpp:66-120): mean
+    and min k-mer count per unitig, resolved in one device gather."""
+    from .kmer.pack import string_kmers_np
+
+    lens = np.array([len(s) - g.k + 1 for s in g.seqs], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    flat = np.empty(total, dtype=np.uint64)
+    for i, s in enumerate(g.seqs):
+        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, g.k)
+    counts, hit = db.lookup(flat)
+    if not hit.all():
+        from .kmer.pack import decode_kmers
+
+        missing = decode_kmers([flat[int(np.argmin(hit))]], g.k)[0]
+        print(f"CDBG::readCov():{missing} kmer can not found .")
+        raise SystemExit(1)
+    counts = counts.astype(np.float64)
+    seg = np.repeat(np.arange(len(lens)), lens)
+    sums = np.bincount(seg, weights=counts, minlength=len(lens))
+    mean = sums / lens
+    mn = np.full(len(lens), 10000, dtype=np.int64)
+    np.minimum.at(mn, seg, counts.astype(np.int64))
+    return mean, mn
+
+
+def window_coverage(db, strings: list[str], lower: int, upper: int):
+    """Batched readCov(s, lower, upper) (src/CDBG.cpp:29-60): for each
+    window string, (mean k-mer count, all-counts-in-(lower,upper) flag)."""
+    from .kmer.pack import string_kmers_np
+
+    uniq = sorted(set(strings))
+    out: dict[str, tuple[float, bool]] = {}
+    if not uniq:
+        return out
+    lens = np.array([len(s) - db.k + 1 for s in uniq], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.empty(int(offs[-1]), dtype=np.uint64)
+    for i, s in enumerate(uniq):
+        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, db.k)
+    counts, hit = db.lookup(flat)
+    if not hit.all():
+        from .kmer.pack import decode_kmers
+
+        missing = decode_kmers([flat[int(np.argmin(hit))]], db.k)[0]
+        print(f"CDBG::readCov():{missing} kmer can not found .")
+        raise SystemExit(1)
+    counts = counts.astype(np.float64)
+    seg = np.repeat(np.arange(len(lens)), lens)
+    inb = (counts > lower) & (counts < upper)
+    ok = np.ones(len(lens), dtype=bool)
+    np.logical_and.at(ok, seg, inb)
+    sums = np.bincount(seg, weights=counts, minlength=len(lens))
+    mean = sums / lens
+    for i, s in enumerate(uniq):
+        out[s] = (float(mean[i]), bool(ok[i]))
+    return out
+
+
+def run_analysis(opt) -> int:
+    """The reference main run (src/Main.cpp:764-853): graph load,
+    setUnitigId, findSuperBubble, ploidyEstimation."""
+    from .bubble.superbubble import find_superbubbles, write_superbubble_file
+    from .graph.cdbg import CDBGraph
+    from .sites.emit import analyze_bubbles, write_outputs
+
+    t0 = time.time()
+    _log(f"Loading graph from {opt.graphfile}")
+    try:
+        g = CDBGraph.from_gfa(opt.graphfile)
+    except FileNotFoundError:
+        print(f"Error: Graph file not found: {opt.graphfile}", file=sys.stderr)
+        return 1
+    _log(f"Graph loading Real time : {time.time() - t0}s")
+    if opt.k and g.k != opt.k and opt.k != 25:
+        _log(f"warning: graph k={g.k} overrides -k {opt.k}")
+
+    db = load_count_db(opt.db, g.k)
+
+    os.makedirs("PloidyFrost_output", exist_ok=True)
+    g.set_unitig_id(opt.outprefix)
+    g.write_graph_info(opt.outprefix)
+    if opt.verbose:
+        _log(">>>>>>>>>Graph Information>>>>>>>>>")
+        _log(
+            f"k:{g.k}\tg:{g.g}\tnbKmer:{g.nb_kmers()}\t"
+            f"nbUnitig:{len(g)}\tlength:{g.total_length()}\t"
+        )
+
+    _log("findSuperBubble(): Finding superbubbles")
+    t0 = time.time()
+    state, bubbles = find_superbubbles(g, opt.complex_size)
+    write_superbubble_file(g, bubbles, opt.outprefix)
+    _log(f"findSuperBubble(): Real time : {time.time() - t0}s")
+    _log(f"findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
+    if opt.bubble:
+        return 0
+
+    _log("PloidyEstimation(): Analyzing superbubbles to generate sites' information")
+    t0 = time.time()
+    ucov, umin = unitig_coverage(db, g)
+    emissions, window_strings = analyze_bubbles(
+        g,
+        state,
+        ucov,
+        umin,
+        opt.coverage_lower,
+        opt.coverage_upper,
+        opt.match,
+        opt.mismatch,
+        opt.gap,
+    )
+    wcov = window_coverage(
+        db, window_strings, opt.coverage_lower, opt.coverage_upper
+    )
+    stats = write_outputs(emissions, wcov, opt.outprefix)
+    _log(f"PloidyEstimation(): Real time : {time.time() - t0}s")
+    a = stats["allele"]
+    _log(
+        "PloidyEstimation(): Alleles in SuperBubbles  :\t"
+        f"2 :{a[0]}\t3 :{a[1]}\t4 :{a[2]}\t5 :{a[3]}"
+    )
+    if stats["core_num"]:
+        _log(
+            "PloidyEstimation(): Sites' Average Coverage:"
+            f"{stats['core_cov'] // stats['core_num']}"
+        )
+    return 0
+
+
+def build_graph_cli(opt) -> int:
+    """Native compacted-DBG construction from reads (replaces
+    `Bifrost build -i -d -k`, script/pipeline/4.bifrost:4)."""
+    from .graph.construct import build_graph_from_reads
+
+    if not opt.inputs:
+        print("Error: no input reads", file=sys.stderr)
+        return 1
+    t0 = time.time()
+    g, counter = build_graph_from_reads(
+        opt.inputs, opt.k, min_count=max(1, opt.coverage_lower if opt.hist else 1)
+    )
+    _log(
+        f"build: {len(g)} unitigs, {g.nb_kmers()} kmers, "
+        f"{g.total_length()} bp in {time.time() - t0:.1f}s"
+    )
+    g.write_gfa(opt.outprefix + ".gfa")
+    return 0
+
+
+def run_pipeline_cli(opt) -> int:
+    """reads -> count -> graph -> bubbles -> variants -> model, one shot
+    (replaces script/pipeline/run.sh)."""
+    from .kmer.cutoffs import cutoff_lower_from_counts, cutoff_upper_from_counts
+    from .model.gmm import run_model
+
+    if not opt.inputs:
+        print("Error: no input reads", file=sys.stderr)
+        return 1
+    from .io.fastx import read_batches
+    from .kmer.count import KmerCounter
+    from .graph.construct import build_graph_from_kmers, simplify
+
+    counter = KmerCounter(opt.k)
+    for batch in read_batches(opt.inputs, opt.k):
+        counter.add_reads(batch)
+    counter.write_histogram(opt.outprefix + ".hist.txt")
+    hist = counter.histogram(10000)
+    lower = max(10, cutoff_lower_from_counts(list(hist[1:])))
+    upper = cutoff_upper_from_counts(list(hist[1:]), opt.frequency)
+    _log(f"pipeline: cutoffs L={lower} U={upper}")
+    opt.coverage_lower = lower
+    opt.coverage_upper = upper
+    km, ct = counter.arrays()
+    km = np.asarray(km, dtype=np.uint64)
+    ct = np.asarray(ct)
+    # graph on k-mers >= lower cutoff = the reference's read-masking
+    # stage (kmc_tools filter -ci<lower>, script/pipeline/3.filter)
+    g = simplify(build_graph_from_kmers(km[ct >= lower], opt.k), opt.k)
+    g.write_gfa(opt.outprefix + ".gfa")
+    np.savez(
+        opt.outprefix + ".kmers.npz",
+        kmers=np.asarray(km),
+        counts=np.asarray(ct),
+        k=opt.k,
+    )
+    opt.graphfile = opt.outprefix + ".gfa"
+    opt.db = opt.outprefix + ".kmers.npz"
+    rc = run_analysis(opt)
+    if rc:
+        return rc
+    ploidy = run_model(
+        opt.outprefix,
+        fre_file=os.path.join(
+            "PloidyFrost_output", opt.outprefix + "_allele_frequency.txt"
+        ),
+        gauss_lower=1,
+        gauss_upper=9,
+        frequency=0.0,
+        max_iter=1000,
+        delta=opt.delta,
+        m_threshold=opt.mthreshold,
+        n_threshold=opt.nthreshold,
+    )
+    _log(f"estimated ploidy level is : {int(ploidy)}")
+    return 0

@@ -1,0 +1,439 @@
+"""Variant-site extraction + allele coverage/frequency emission.
+
+Behavioral port of the analysis phase of CDBG::ploidyEstimation_ptr
+(src/CDBG.cpp:1101-1705): the visited-strand state machine, the strict
+(simple-bubble) branch-coverage path and the branching path-enumeration
++ k-window extraction path, with the emission row formats of the
+reference's output tables.
+
+TPU-first restructuring: the reference probes its k-mer database one
+k-mer at a time *inside* the bubble loop (readCov, src/CDBG.cpp:29-120).
+Here coverage resolution is split out of the loop:
+
+  pass 1 (host): walk the state machine, align branches, extract sites
+         and k-length window strings — recording *pending* rows that
+         reference coverage by unitig id / window string;
+  batch:  ALL unitig coverages and ALL window strings resolve in a
+         handful of device `searchsorted` gathers (kmer/countdb.py);
+  pass 2 (host): apply the reference's bounds gates and write rows in
+         the original sequential order.
+
+Output rows and orderings are identical to the reference single-thread
+path (the t=1 fallback of ploidyEstimation_multithread_ptr) — the
+multithread variant's interleavings are nondeterministic, so the
+deterministic ordering is the canonical one (SURVEY §7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..align.msa import SeqAlign
+from ..bubble.superbubble import NULL, BubbleState
+from ..graph.cdbg import CDBGraph
+from ..util.format import cpp_double
+
+
+@dataclass
+class SiteEmission:
+    """One variant site row (destined for {bi,tri,tetra,penta}{cov,fre})."""
+
+    maxnum: int
+    is_simple: bool
+    var_type_indel_len: int  # 0 for SNP, indel length for indel sites
+    var_id: int
+    var_num: int
+    var_dis: int
+    # strict: group coverages are known at pass-1 time
+    group_cov: list[float] | None = None
+    # branching: per-group sets of k-window strings, resolved in pass 2
+    group_windows: list[list[str]] | None = None
+    sum_cov: float | None = None  # strict: total branch cov
+
+
+@dataclass
+class BubbleEmission:
+    var_id: int
+    is_simple: bool
+    entrance_id: int
+    exit_id: int
+    aligned_rows: list[str]
+    core_cov: float
+    sites: list[SiteEmission] = field(default_factory=list)
+
+
+def _sorted_desc_by_cov_then_seq(covs: list[float], seqs: list[str]):
+    """sortSeq_simple order: coverage desc, tie refseq desc
+    (src/CDBG.cpp:482-551)."""
+    idx = sorted(range(len(covs)), key=lambda i: (covs[i], seqs[i]), reverse=True)
+    return idx
+
+
+def _sorted_desc_by_len_then_str(strs: list[str]) -> list[str]:
+    """sortSeq_branching order: length desc, tie string desc
+    (src/CDBG.cpp:417-480)."""
+    return sorted(strs, key=lambda s: (len(s), s), reverse=True)
+
+
+def _var_distance(i: int, var_site: list[int], u_size: int, exit_size: int) -> int:
+    """var_distance (src/CDBG.cpp:1279-1298)."""
+    if i == 0:
+        if i != len(var_site) - 1:
+            return min(var_site[i + 1] - var_site[i] - 1, u_size)
+        return min(u_size, exit_size)
+    if i == len(var_site) - 1:
+        return min(var_site[i] - var_site[i - 1] - 1, exit_size)
+    return min(var_site[i] - var_site[i - 1] - 1, var_site[i + 1] - var_site[i] - 1)
+
+
+def _indel_windows(str_vec: list[str], site: int, indel_seen: int, k: int):
+    """k-length window strings around an INDEL site
+    (src/CDBG.cpp:1471-1525). Returns one window string per aligned row."""
+    n = len(str_vec)
+    site_vec = [site] * n
+    k_length = [""] * n
+    while True:
+        site_char = set()
+        for s in range(n):
+            c = str_vec[s][site_vec[s]]
+            while c == "-":
+                site_vec[s] += 1
+                c = str_vec[s][site_vec[s]]
+            site_vec[s] += 1
+            k_length[s] += c
+            site_char.add(c)
+        if len(site_char) > 1:
+            break
+    if indel_seen == 0:
+        for s in range(n):
+            indel_i = len(k_length[s])
+            k_length[s] = str_vec[s][site - k + indel_i : site] + k_length[s]
+    else:
+        for s in range(n):
+            indel_i = len(k_length[s])
+            temp = str_vec[s][:site].replace("-", "")
+            if len(temp) < k - indel_i:
+                k_length[s] = temp + k_length[s]
+                ext = site_vec[s]
+                while len(k_length[s]) < k:
+                    c = str_vec[s][ext]
+                    if c != "-":
+                        k_length[s] += c
+                    ext += 1
+            else:
+                k_length[s] = temp[len(temp) - (k - indel_i) :] + k_length[s]
+    return k_length
+
+
+def _snp_windows(
+    str_vec: list[str], site: int, indel_seen: int, indel_len: list[int], k: int
+):
+    """k-length window strings around a SNP site (src/CDBG.cpp:1559-1596)."""
+    n = len(str_vec)
+    k_length = [""] * n
+    if indel_seen > 0:
+        for s in range(n):
+            temp = str_vec[s][: site + 1].replace("-", "")
+            if len(temp) < k:
+                k_length[s] = temp
+                ext = site + 1
+                while len(k_length[s]) < k:
+                    c = str_vec[s][ext]
+                    if c != "-":
+                        k_length[s] += c
+                    ext += 1
+            else:
+                k_length[s] = temp[len(temp) - k :]
+    else:
+        for s in range(n):
+            k_length[s] = str_vec[s][site - k + 1 : site + 1]
+    return k_length
+
+
+def _enumerate_paths(g: CDBGraph, entrance, exit_h) -> list[str]:
+    """Path-string enumeration between entrance and exit via the
+    major/minor stack DFS (src/CDBG.cpp:1364-1412)."""
+    str_vec: list[str] = []
+    major = []
+    minor = [entrance]
+    bubble_str = ""
+    u_len = entrance.length
+    while minor:
+        umi = minor.pop()
+        major.append(umi)
+        s = umi.mapped_seq
+        bubble_str += s[: umi.length]
+        if umi.same_unitig(exit_h):
+            bubble_str += s[umi.length :]
+            str_vec.append(
+                bubble_str[u_len - 1 : u_len - 1 + len(bubble_str) - u_len + 1 - umi.length + 1]
+            )
+            bubble_str = bubble_str[: len(bubble_str) - len(s)]
+            major.pop()
+            while major and minor:
+                f = False
+                for uma in major[-1].successors():
+                    if uma == minor[-1]:
+                        f = True
+                        break
+                if not f:
+                    bubble_str = bubble_str[: len(bubble_str) - major[-1].length]
+                    major.pop()
+                else:
+                    break
+        else:
+            for u in umi.successors():
+                minor.append(u)
+    return str_vec
+
+
+def analyze_bubbles(
+    g: CDBGraph,
+    state: BubbleState,
+    unitig_cov: np.ndarray,
+    unitig_min: np.ndarray,
+    lower: int,
+    upper: int,
+    match: float = 2.0,
+    mismatch: float = -1.0,
+    gap: float = -3.0,
+) -> tuple[list[BubbleEmission], list[str]]:
+    """Pass 1 of ploidyEstimation: walk every unvisited strand, align,
+    extract sites. Returns (bubble emissions, all window strings needed).
+
+    unitig_cov/unitig_min: per-unitig mean and min k-mer coverage
+    (the batched readCov(u) replacement, src/CDBG.cpp:66-120).
+    """
+    seqalign = SeqAlign(match, mismatch, gap)
+    k = g.k
+    emissions: list[BubbleEmission] = []
+    window_strings: list[str] = []
+    var_count = 0
+
+    for ui in range(len(g)):
+        if state.is_both_visited(ui):
+            continue
+        while not state.is_both_visited(ui):
+            if not state.is_plus_visited(ui):
+                strand = True
+                if state.is_complex(ui, True):
+                    state.set_visited(ui, True)
+                    continue
+            elif not state.is_minus_visited(ui):
+                strand = False
+                if state.is_complex(ui, False):
+                    state.set_visited(ui, False)
+                    break
+            else:
+                break
+            u = g.handle(ui, strand)
+            core = float(unitig_cov[ui])
+            is_strict = state.is_strict(ui, strand)
+            if is_strict:
+                exit_h = u.successors()[0].successors()[0]
+                if u.seq < exit_h.seq:
+                    state.set_visited(ui, strand)
+                    continue
+                branches = u.successors()
+                covs: list[float] = []
+                ok = True
+                for uu in branches:
+                    if lower < int(unitig_min[uu.idx]) < upper:
+                        covs.append(float(unitig_cov[uu.idx]))
+                    else:
+                        ok = False
+                        break
+                if ok:
+                    order = _sorted_desc_by_cov_then_seq(
+                        covs, [b.seq for b in branches]
+                    )
+                    covs = [covs[i] for i in order]
+                    branches = [branches[i] for i in order]
+                    str_vec = [b.mapped_seq for b in branches]
+                    rows, snp_pos, indel_pos, partition, indel_len = (
+                        seqalign.sequence_alignment(str_vec)
+                    )
+                    var_count += 1
+                    be = BubbleEmission(
+                        var_count,
+                        True,
+                        int(g.ids[ui]),
+                        int(g.ids[exit_h.idx]),
+                        rows,
+                        core,
+                    )
+                    var_site = [
+                        i for i in range(len(partition)) if partition[i][-1] > 0
+                    ]
+                    total = sum(covs)
+                    indel = 0
+                    for i, vs in enumerate(var_site):
+                        part = partition[vs]
+                        maxnum = max(part)
+                        temp_cov = [0.0] * maxnum
+                        for j in range(len(part)):
+                            temp_cov[part[j] - 1] += covs[j]
+                        vd = _var_distance(i, var_site, u.size, exit_h.size)
+                        if vs in indel_pos:
+                            indel += 1
+                            vt = indel_len[indel - 1]
+                        else:
+                            vt = 0
+                        be.sites.append(
+                            SiteEmission(
+                                maxnum,
+                                True,
+                                vt,
+                                var_count,
+                                len(var_site),
+                                vd,
+                                group_cov=temp_cov,
+                                sum_cov=total,
+                            )
+                        )
+                    emissions.append(be)
+            else:
+                partner = state.bubble_exit(ui, strand)
+                if partner == NULL:
+                    # inconsistent state (should not happen): bail out
+                    state.set_visited(ui, strand)
+                    continue
+                exit_h = u.successors()[0]
+                while exit_h.idx != partner:
+                    exit_h = exit_h.successors()[0]
+                if u.seq < exit_h.seq:
+                    state.set_visited(ui, strand)
+                    continue
+                str_vec = _enumerate_paths(g, u, exit_h)
+                str_vec = _sorted_desc_by_len_then_str(str_vec)
+                rows, snp_pos, indel_pos, partition, indel_len = (
+                    seqalign.sequence_alignment(str_vec)
+                )
+                var_count += 1
+                be = BubbleEmission(
+                    var_count,
+                    False,
+                    int(g.ids[ui]),
+                    int(g.ids[exit_h.idx]),
+                    rows,
+                    core,
+                )
+                var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
+                indel = 0
+                for i, vs in enumerate(var_site):
+                    part = partition[vs]
+                    maxnum = max(part)
+                    vd = _var_distance(i, var_site, u.size, exit_h.size)
+                    if vs in indel_pos:
+                        windows = _indel_windows(rows, vs, indel, k)
+                        indel += 1
+                        vt = indel_len[indel - 1]
+                    else:
+                        windows = _snp_windows(rows, vs, indel, indel_len, k)
+                        vt = 0
+                    # group -> SORTED set of distinct windows (std::set
+                    # iteration order, src/CDBG.cpp:1449, 1527-1530)
+                    group_sets: list[set[str]] = [set() for _ in range(maxnum)]
+                    for pi in range(len(part)):
+                        group_sets[part[pi] - 1].add(windows[pi])
+                    gw = [sorted(s) for s in group_sets]
+                    for grp in gw:
+                        window_strings.extend(grp)
+                    be.sites.append(
+                        SiteEmission(
+                            maxnum,
+                            False,
+                            vt,
+                            var_count,
+                            len(var_site),
+                            vd,
+                            group_windows=gw,
+                        )
+                    )
+                emissions.append(be)
+            # mark entrance + exit strands visited (src/CDBG.cpp:1656-1679)
+            state.set_visited(ui, strand)
+            if exit_h.strand:
+                state.set_visited(exit_h.idx, False)
+            else:
+                state.set_visited(exit_h.idx, True)
+    return emissions, window_strings
+
+
+def write_outputs(
+    emissions: list[BubbleEmission],
+    window_cov: dict[str, tuple[float, bool]],
+    outpre: str,
+    outdir: str = "PloidyFrost_output",
+) -> dict:
+    """Pass 2: resolve pending rows and write the output tables with the
+    reference's exact formats (src/CDBG.cpp:1125-1135, 1303-1317,
+    1552-1557, 1622-1628).
+
+    window_cov: window string -> (mean cov, within-bounds flag) from the
+    batched device lookup.
+    Returns summary stats {allele: [n2,n3,n4,n5], core_cov, core_num}.
+    """
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def op(name):
+        return open(os.path.join(outdir, outpre + name), "w")
+
+    allele = [0, 0, 0, 0]
+    core_cov = 0
+    core_num = 0
+    with op("_allele_frequency.txt") as allfre, op("_bifre.txt") as bifre, op(
+        "_trifre.txt"
+    ) as trifre, op("_tetrafre.txt") as tetrafre, op("_pentafre.txt") as pentafre, op(
+        "_bicov.txt"
+    ) as bicov, op("_tricov.txt") as tricov, op("_tetracov.txt") as tetracov, op(
+        "_pentacov.txt"
+    ) as pentacov, op("_alignseq.txt") as s_var:
+        fre_files = {2: bifre, 3: trifre, 4: tetrafre, 5: pentafre}
+        cov_files = {2: bicov, 3: tricov, 4: tetracov, 5: pentacov}
+        for be in emissions:
+            for row in be.aligned_rows:
+                s_var.write(
+                    f"{be.var_id}\t{1 if be.is_simple else 0}\t"
+                    f"{be.entrance_id}\t{be.exit_id}\t{row}\n"
+                )
+            core_cov += int(be.core_cov)
+            core_num += 1
+            for site in be.sites:
+                if site.group_cov is not None:
+                    temp_cov = site.group_cov
+                    total = site.sum_cov
+                else:
+                    temp_cov = []
+                    total = 0.0
+                    ok = True
+                    for grp in site.group_windows:
+                        c = 0.0
+                        for w in grp:
+                            mean, inb = window_cov[w]
+                            if not inb:
+                                ok = False
+                                break
+                            c += mean
+                        if not ok:
+                            break
+                        temp_cov.append(c)
+                        total += c
+                    if not ok:
+                        continue
+                cov_info = "".join(cpp_double(c) + "\t" for c in temp_cov)
+                fre_info = "".join(cpp_double(c / total) + "\n" for c in temp_cov)
+                cov_info += (
+                    f"{1 if site.is_simple else 0}\t{site.var_type_indel_len}\t"
+                    f"{site.var_id}\t{site.var_num}\t{site.var_dis}\t\n"
+                )
+                allfre.write(fre_info)
+                if 2 <= site.maxnum <= 5:
+                    allele[site.maxnum - 2] += 1
+                    fre_files[site.maxnum].write(fre_info)
+                    cov_files[site.maxnum].write(cov_info)
+    return {"allele": allele, "core_cov": core_cov, "core_num": core_num}

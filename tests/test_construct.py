@@ -1,0 +1,157 @@
+"""Native graph construction vs a brute-force compaction oracle."""
+
+import numpy as np
+import pytest
+
+from ploidyfrost_tpu.graph.cdbg import revcomp
+from ploidyfrost_tpu.graph.construct import (
+    _canon_np,
+    build_graph_from_kmers,
+    simplify,
+)
+from ploidyfrost_tpu.kmer.pack import encode_kmer_string
+
+
+def genome_kmers(seqs, k):
+    kms = set()
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            w = s[i : i + k]
+            kms.add(min(w, revcomp(w)))
+    return kms
+
+
+def brute_force_unitigs(kmer_set: set[str], k: int) -> set[str]:
+    """Oracle: maximal non-branching paths in the bidirected DBG."""
+
+    def succs(km):
+        out = []
+        for b in "ACGT":
+            nxt = km[1:] + b
+            if min(nxt, revcomp(nxt)) in kmer_set:
+                out.append(nxt)
+        return out
+
+    def preds(km):
+        return [revcomp(s) for s in succs(revcomp(km))]
+
+    # oriented kmer x extends to its unique successor y iff
+    # |succs(x)| == 1 and |preds(y)| == 1 and canon(y) != canon(x)
+    def canon(s):
+        return min(s, revcomp(s))
+
+    def link(x):
+        ss = succs(x)
+        if len(ss) != 1:
+            return None
+        y = ss[0]
+        if canon(y) == canon(x):
+            return None
+        if len(preds(y)) != 1:
+            return None
+        return y
+
+    unitigs = set()
+    seen = set()
+    for km in kmer_set:
+        if km in seen:
+            continue
+        # walk backward to the start of the chain
+        x = km
+        visited = {canon(x)}
+        while True:
+            ps = preds(x)
+            if len(ps) != 1:
+                break
+            p = ps[0]
+            if canon(p) in visited or canon(p) == canon(x):
+                break
+            if link(p) != x:
+                break
+            x = p
+            visited.add(canon(x))
+        # walk forward collecting the unitig
+        seq = x
+        visited = {canon(x)}
+        seen.add(canon(x))
+        while True:
+            y = link(x)
+            if y is None or canon(y) in visited:
+                break
+            seq += y[-1]
+            x = y
+            visited.add(canon(x))
+            seen.add(canon(x))
+        unitigs.add(min(seq, revcomp(seq)))
+    return unitigs
+
+
+def str_kmers_to_ints(kmer_set, k):
+    return np.sort(
+        np.array([encode_kmer_string(s) for s in kmer_set], dtype=np.uint64)
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_construct_matches_bruteforce_random(seed):
+    rng = np.random.default_rng(seed)
+    k = 5
+    n = 300
+    seqs = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, rng.integers(k, 40)))
+        for _ in range(12)
+    ]
+    kms = genome_kmers(seqs, k)
+    if not kms:
+        pytest.skip("no kmers")
+    expected = brute_force_unitigs(kms, k)
+    g = build_graph_from_kmers(str_kmers_to_ints(kms, k), k)
+    got = {min(s, revcomp(s)) for s in g.seqs}
+    assert got == expected
+
+
+def test_construct_simple_genome():
+    k = 5
+    genome = "ACGTACATTGACCAGTTGACAGTTTGCA"
+    kms = genome_kmers([genome], k)
+    g = build_graph_from_kmers(str_kmers_to_ints(kms, k), k)
+    got = {min(s, revcomp(s)) for s in g.seqs}
+    assert got == brute_force_unitigs(kms, k)
+    # every input k-mer is covered exactly once across unitigs
+    covered = genome_kmers(g.seqs, k)
+    assert covered == kms
+    assert g.nb_kmers() == len(kms)
+
+
+def test_construct_snp_bubble():
+    """Two haplotypes differing at one site -> entrance, two branches, exit."""
+    k = 5
+    h1 = "AATCGGCTACTGGTCAAGGCT"
+    h2 = h1[:10] + "G" + h1[11:]
+    assert h1[10] != "G"
+    kms = genome_kmers([h1, h2], k)
+    g = build_graph_from_kmers(str_kmers_to_ints(kms, k), k)
+    assert {min(s, revcomp(s)) for s in g.seqs} == brute_force_unitigs(kms, k)
+    # a bubble entrance exists: some (unitig, strand) has out-degree 2
+    assert any(
+        g.out_degree(i, s) == 2 for i in range(len(g)) for s in (True, False)
+    )
+
+
+def test_kmc_roundtrip(tmp_path):
+    from ploidyfrost_tpu.io.kmc import read_kmc_db, write_kmc_db
+
+    rng = np.random.default_rng(7)
+    k = 25
+    km = np.unique(
+        rng.integers(0, 1 << (2 * k), 5000, dtype=np.uint64)
+    )
+    km = _canon_np(km, k)
+    km = np.unique(km)
+    ct = rng.integers(1, 10000, len(km))
+    p = str(tmp_path / "db")
+    write_kmc_db(p, km, ct, k)
+    km2, ct2, k2 = read_kmc_db(p)
+    assert k2 == k
+    np.testing.assert_array_equal(km2, km)
+    np.testing.assert_array_equal(ct2, ct)
