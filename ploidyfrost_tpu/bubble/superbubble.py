@@ -202,10 +202,27 @@ def _set_no_bubble_cycle(state: BubbleState, vec_seen, p_first, p_second):
 
 
 def _register_bubble(
-    g: CDBGraph, state: BubbleState, vec_seen, p_first, p_second, complex_size: int
+    g: CDBGraph,
+    state: BubbleState,
+    vec_seen,
+    p_first,
+    p_second,
+    complex_size: int,
+    colors=None,
 ):
     """setNoBubble_ptr(p, vec) — the REAL-bubble registration
-    (src/CDBG.cpp:700-846)."""
+    (src/CDBG.cpp:700-846; colored variant src/CCDBG.cpp:2402-2660).
+
+    When `colors` (a ColorMatrix) is given, the colored gates apply
+    before the entrance<->exit link is installed:
+      1. entrance fully colored by EVERY color (src/CCDBG.cpp:2531-2550);
+      2. exit likewise — with the reference's size(p.first) argument
+         quirk, observable only for nested full-color sets
+         (src/CCDBG.cpp:2552-2571);
+      3. color continuity: every color carried by a non-exit bubble
+         unitig must be fully carried by at least one of its successors
+         (src/CCDBG.cpp:2573-2621).
+    """
     if len(vec_seen) < 4:
         return
     pf, ps = p_first, p_second
@@ -251,6 +268,49 @@ def _register_bubble(
             continue
         state.detach_and_self(ucm.idx)
         state.set_non_super(ucm.idx)
+    if colors is not None:
+        C = colors.n_colors
+
+        def endpoints_self():
+            state.set_self(pf.idx, pf.strand)
+            if not ps.strand:
+                state.set_plus_self(ps.idx)
+            else:
+                state.set_minus_self(ps.idx)
+
+        f = True
+        if colors.size(pf.idx) != pf.length * C:
+            f = False
+            state.set_non_super(pf.idx)
+            endpoints_self()
+        if colors.size_as(ps.idx, pf.length) != ps.length * C:
+            f = False
+            state.set_non_super(ps.idx)
+            endpoints_self()
+        if f:
+            required = {
+                pf.idx: list(range(C)),
+                ps.idx: list(range(C)),
+            }
+            for ucm in vec_seen:
+                if ucm == ps:
+                    continue
+                if ucm.idx not in required:
+                    required[ucm.idx] = [
+                        i for i in range(C) if colors.contains_all(ucm.idx, i)
+                    ]
+                suc_color = set()
+                for suc in ucm.successors():
+                    for col in required[ucm.idx]:
+                        if colors.contains_all(suc.idx, col):
+                            suc_color.add(col)
+                if len(suc_color) != len(required[ucm.idx]):
+                    f = False
+                    break
+            if not f:
+                endpoints_self()
+        if not f:
+            return
     if pf.strand:
         state.set_plus(pf.idx, ps.idx)
     else:
@@ -262,7 +322,7 @@ def _register_bubble(
 
 
 def extract_superbubble(
-    g: CDBGraph, state: BubbleState, s: UnitigHandle, complex_size: int
+    g: CDBGraph, state: BubbleState, s: UnitigHandle, complex_size: int, colors=None
 ):
     """extractSuperBubble_ptr (src/CDBG.cpp:253-415)."""
     flag_cycle = False
@@ -334,7 +394,7 @@ def extract_superbubble(
                     _set_no_bubble_all(state, vec_km_seen, p_first, p_second)
                     return
                 _register_bubble(
-                    g, state, vec_km_seen, p_first, p_second, complex_size
+                    g, state, vec_km_seen, p_first, p_second, complex_size, colors
                 )
                 return
     if flag_cycle:
@@ -346,23 +406,37 @@ def extract_superbubble(
 
 
 def find_superbubbles(
-    g: CDBGraph, complex_size: int = 8
+    g: CDBGraph, complex_size: int = 8, colors=None
 ) -> tuple[BubbleState, list[Bubble]]:
     """findSuperBubble over the whole graph (src/CDBG.cpp:178-252):
     seeds in iteration order, then a deterministic listing pass assigning
-    ids 1..N in unitig order (plus strand before minus)."""
+    ids 1..N in unitig order (plus strand before minus). With `colors`,
+    registration applies the CCDBG color gates (src/CCDBG.cpp:2531-2621)."""
     state = BubbleState(len(g))
     for i in range(len(g)):
         if g.out_degree(i, True) > 1 and state.get_ptr(i, True) == NULL:
-            extract_superbubble(g, state, g.handle(i, True), complex_size)
+            extract_superbubble(g, state, g.handle(i, True), complex_size, colors)
         if g.out_degree(i, False) > 1 and state.get_ptr(i, False) == NULL:
-            extract_superbubble(g, state, g.handle(i, False), complex_size)
+            extract_superbubble(g, state, g.handle(i, False), complex_size, colors)
+    # listing pass mirrors the reference exactly — and the uncolored and
+    # colored references genuinely differ here:
+    #   CDBG (uncolored) lists by the visited BITS per side
+    #     (!is_plus_visited(), src/CDBG.cpp:222-249);
+    #   CCDBG (colored) skips is_both_visited() unitigs, then lists each
+    #     side with a non-NULL POINTER — including self-links left behind
+    #     by color-gate failures when the other side carries a live link
+    #     (is_super() == !is_both_visited(), MyUnitig.hpp:56-59;
+    #      src/CCDBG.cpp:2106-2133).
     bubbles = []
     nb = 0
     for i in range(len(g)):
         if state.is_both_visited(i):
             continue
-        if not state.is_plus_visited(i):
+        if (
+            int(state.plus[i]) != NULL
+            if colors is not None
+            else not state.is_plus_visited(i)
+        ):
             nb += 1
             bubbles.append(
                 Bubble(
@@ -374,7 +448,11 @@ def find_superbubbles(
                     state.is_complex(i, True),
                 )
             )
-        if not state.is_minus_visited(i):
+        if (
+            int(state.minus[i]) != NULL
+            if colors is not None
+            else not state.is_minus_visited(i)
+        ):
             nb += 1
             bubbles.append(
                 Bubble(

@@ -93,6 +93,7 @@ class Options:
         self.mismatch = -1.0
         self.gap = -3.0
         self.inputs = []
+        self.colored = False
 
 
 _OPTSTRING = "M:D:G:z:a:l:q:u:e:C:R:o:t:g:f:k:d:m:n:h:ibvpNSc"
@@ -149,7 +150,63 @@ def parse_options(argv, opt: Options):
             opt.bubble = True
         elif c == "p":
             opt.p = True
+        elif c == "c":
+            opt.colored = True
     return opt
+
+
+def _atoll(s: str) -> int:
+    """C atoll: parse the leading integer, 0 if none."""
+    import re
+
+    m = re.match(r"\s*[+-]?\d+", s)
+    return int(m.group()) if m else 0
+
+
+def parse_coverage_vec(opt) -> None:
+    """Colored cutoff resolution (src/Main.cpp:352-447): -h = file
+    listing per-color histogram files; -C = file of 'lower<TAB>upper'
+    lines (atoll parsing)."""
+    from .kmer.cutoffs import cutoff_lower, cutoff_upper
+
+    opt.coverage_vec = []
+    if opt.hist:
+        with open(opt.hist) as f:
+            for line in f:
+                name = line.rstrip("\n")
+                if not name:
+                    continue
+                lo = max(10, cutoff_lower(name))
+                up = cutoff_upper(name, opt.frequency)
+                if lo > up:
+                    raise SystemExit(
+                        "Error: lower cutoff need be smaller than upper cutoff "
+                    )
+                opt.coverage_vec.append((lo, up))
+    elif opt.coveragefile:
+        with open(opt.coveragefile) as f:
+            for line in f:
+                name = line.rstrip("\n")
+                if not name:
+                    continue
+                if "\t" not in name:
+                    raise SystemExit("Error: Coverage File is badly Formatted.")
+                pos = name.find("\t")
+                lo = _atoll(name[:pos])
+                up = _atoll(name[pos + 1 :])
+                if lo < 0 or up < 0:
+                    raise SystemExit(
+                        "Error: Filter coverage need a positive number."
+                    )
+                if lo > up:
+                    raise SystemExit(
+                        "Error: lower cutoff need be smaller than upper cutoff "
+                    )
+                opt.coverage_vec.append((lo, up))
+    else:
+        raise SystemExit(
+            "Error: colored run needs -C coverage file or -h histogram list"
+        )
 
 
 def cmd_cutoff_l(argv) -> int:
@@ -246,7 +303,7 @@ def cmd_count(argv) -> int:
 
 
 def cmd_run(argv) -> int:
-    from .pipeline import run_analysis
+    from .pipeline import run_analysis, run_colored_analysis
 
     opt = parse_options(argv, Options())
     if not opt.graphfile:
@@ -258,6 +315,9 @@ def cmd_run(argv) -> int:
     if opt.complex_size < 4:
         print("Error: Maximum number of unitigs in superbubble is at least 4 !", file=sys.stderr)
         return 1
+    if opt.colorfile:
+        parse_coverage_vec(opt)
+        return run_colored_analysis(opt)
     if opt.hist:
         from .kmer.cutoffs import cutoff_lower, cutoff_upper
 
@@ -268,15 +328,24 @@ def cmd_run(argv) -> int:
 
 
 def cmd_build(argv) -> int:
-    from .pipeline import build_graph_cli
+    from .pipeline import build_colored_graph_cli, build_graph_cli
 
-    return build_graph_cli(parse_options(argv, Options()))
+    opt = parse_options(argv, Options())
+    if opt.colored:
+        return build_colored_graph_cli(opt)
+    return build_graph_cli(opt)
 
 
 def cmd_pipeline(argv) -> int:
     from .pipeline import run_pipeline_cli
 
     return run_pipeline_cli(parse_options(argv, Options()))
+
+
+def cmd_pipeline_multi(argv) -> int:
+    from .pipeline import run_multisample_pipeline_cli
+
+    return run_multisample_pipeline_cli(parse_options(argv, Options()))
 
 
 def main(argv=None) -> int:
@@ -297,6 +366,8 @@ def main(argv=None) -> int:
         return cmd_build(argv[1:])
     if cmd == "pipeline":
         return cmd_pipeline(argv[1:])
+    if cmd == "pipeline-multi":
+        return cmd_pipeline_multi(argv[1:])
     return cmd_run(argv)
 
 

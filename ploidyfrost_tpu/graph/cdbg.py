@@ -191,6 +191,7 @@ class CDBGraph:
         k = None
         g = None
         seqs = []
+        da_ids = []
         import gzip
 
         op = gzip.open if path.endswith(".gz") else open
@@ -207,20 +208,36 @@ class CDBGraph:
                 elif line[0] == "S":
                     parts = line.rstrip("\n").split("\t")
                     seqs.append(parts[2].upper())
+                    da = None
+                    for tag in parts[3:]:
+                        # DataAccessor tag joining a unitig to its color
+                        # set (ColoredCDBG::read, ColoredCDBG.tcc:505-535)
+                        if tag.startswith("DA:Z:"):
+                            da = int(tag[5:])
+                    da_ids.append(da)
         if k is None:
             raise ValueError(f"no KL:Z k-mer-length tag in GFA header of {path}")
-        return cls(seqs, k, g)
+        gr = cls(seqs, k, g)
+        # re-associate DA tags with the reordered (long-first) seq order
+        if any(d is not None for d in da_ids):
+            by_seq = {}
+            for s, d in zip(seqs, da_ids):
+                by_seq[s] = d
+            gr.da_ids = [by_seq.get(s) for s in gr.seqs]
+        return gr
 
-    def write_gfa(self, path: str, bfg_version: str = "1.0.6"):
+    def write_gfa(self, path: str, bfg_version: str = "1.0.6", da_ids=None):
         """Bifrost-layout GFA: header with BV/KL/ML tags, S lines with
-        sequences, L lines with (k-1)-overlaps (CompactedDBG.tcc:7479+)."""
+        sequences (plus DA:Z DataAccessor tags for colored graphs),
+        L lines with (k-1)-overlaps (CompactedDBG.tcc:7479+)."""
         k = self.k
         with open(path, "w") as f:
             f.write(
                 f"H\tVN:Z:1.0\tBV:Z:{bfg_version}\tKL:Z:{k}\tML:Z:{self.g}\n"
             )
             for i, s in enumerate(self.seqs):
-                f.write(f"S\t{i + 1}\t{s}\tLN:i:{len(s)}\n")
+                da = f"\tDA:Z:{da_ids[i]}" if da_ids is not None else ""
+                f.write(f"S\t{i + 1}\t{s}\tLN:i:{len(s)}{da}\n")
             for i in range(self.n):
                 for strand in (True, False):
                     for h in self.successors(i, strand):

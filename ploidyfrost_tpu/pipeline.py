@@ -108,6 +108,128 @@ def window_coverage(db, strings: list[str], lower: int, upper: int):
     return out
 
 
+def load_color_matrix(path: str, g):
+    """Load unitig colors: our .colors.npz (packed bit matrix) or a
+    Bifrost .bfg_colors binary (io/bfg.py reader)."""
+    from .graph.colors import ColorMatrix
+
+    if path.endswith(".npz"):
+        z = np.load(path, allow_pickle=False)
+        bits = np.unpackbits(z["bits"], axis=0)[: int(z["rows"])].astype(bool)
+        names = [str(n) for n in z["names"]]
+        offsets = z["offsets"]
+        return ColorMatrix(offsets, bits, names)
+    from .io.bfg import read_bfg_colors
+
+    return read_bfg_colors(path, g)
+
+
+def save_color_matrix(path: str, colors) -> None:
+    np.savez(
+        path,
+        bits=np.packbits(colors.bits.astype(np.uint8), axis=0),
+        rows=colors.bits.shape[0],
+        offsets=colors.offsets,
+        names=np.array(colors.names),
+    )
+
+
+def write_graph_info_colored(g, colors, outpre: str, verbose: bool):
+    """CCDBG::printInfo (src/CCDBG.cpp:2022-2053): graph info plus
+    NbColors and one color name per line."""
+    lines = (
+        f"k:{g.k}\tg:{g.g}\tNbColors:{colors.n_colors}\t"
+        f"nbKmer:{g.nb_kmers()}\tnbUnitig:{len(g)}\tlength:{g.total_length()}\n"
+        + "".join(c + "\n" for c in colors.names)
+    )
+    if verbose:
+        _log(">>>>>>>>>Graph Information>>>>>>>>>")
+        print(lines, end="")
+        _log(">>>>>>>>>>>>>>>>>>>>>>>>>>>>>>>>>>>")
+    with open(outpre + "_graph_info.txt", "w") as f:
+        f.write(lines)
+
+
+def run_colored_analysis(opt) -> int:
+    """The colored main run (src/Main.cpp:777-813): ColoredCDBG read,
+    per-color KMC database open, setUnitigId, findSuperBubble,
+    colored ploidyEstimation."""
+    from .bubble.superbubble import find_superbubbles, write_superbubble_file
+    from .graph.cdbg import CDBGraph
+    from .sites.emit_colored import (
+        analyze_bubbles_colored,
+        unitig_coverage_colored,
+        window_coverage_colored,
+        write_outputs_colored,
+    )
+
+    t0 = time.time()
+    _log(f"Loading colored graph from {opt.graphfile} + {opt.colorfile}")
+    g = CDBGraph.from_gfa(opt.graphfile)
+    colors = load_color_matrix(opt.colorfile, g)
+    _log(f"CCDBG: Graph loading Real time : {time.time() - t0}s")
+
+    # one count database per color, listed one prefix per line in opt.db
+    # (src/CCDBG.cpp:11-88)
+    dbs = []
+    with open(opt.db) as f:
+        for line in f:
+            name = line.rstrip("\n")
+            if name:
+                dbs.append(load_count_db(name, g.k))
+                _log(f"CCDBG::CCDBG(): database {name} initialized")
+    if len(dbs) != colors.n_colors:
+        raise SystemExit(
+            f"Error: {len(dbs)} databases != {colors.n_colors} colors"
+        )
+    cutoffs = list(opt.coverage_vec)
+    if len(cutoffs) != len(dbs):
+        raise SystemExit(
+            f"Error: {len(cutoffs)} coverage cutoffs != {len(dbs)} databases"
+        )
+    for i, (lo, up) in enumerate(cutoffs):
+        _log(f"CCDBG:: Database {i} Minimum Coverage:{lo}")
+        _log(f"CCDBG:: Maximum Coverage:{up}")
+
+    os.makedirs("PloidyFrost_output", exist_ok=True)
+    g.set_unitig_id(opt.outprefix)
+    write_graph_info_colored(g, colors, opt.outprefix, opt.verbose)
+
+    _log("CCDBG::findSuperBubble(): Finding superbubbles")
+    t0 = time.time()
+    state, bubbles = find_superbubbles(g, opt.complex_size, colors)
+    write_superbubble_file(g, bubbles, opt.outprefix)
+    _log(f"CCDBG::findSuperBubble(): Real time : {time.time() - t0}s")
+    _log(f"CCDBG::findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
+    if opt.bubble:
+        return 0
+
+    _log(
+        "CCDBG::PloidyEstimation():  Analyzing superbubbles to generate sites' information"
+    )
+    t0 = time.time()
+    umean, uok = unitig_coverage_colored(dbs, g, cutoffs)
+    emissions, window_strings, window_colors = analyze_bubbles_colored(
+        g, colors, state, umean, uok, opt.match, opt.mismatch, opt.gap
+    )
+    wcov = window_coverage_colored(dbs, window_strings, cutoffs)
+    stats = write_outputs_colored(
+        emissions, wcov, window_colors, colors.n_colors, opt.outprefix
+    )
+    _log(f"CCDBG::PloidyEstimation(): Real time : {time.time() - t0}s")
+    a = stats["allele"]
+    _log(
+        "CCDBG::PloidyEstimation(): Alleles in SuperBubbles  :\t"
+        f"2 :{a[0]}\t3 :{a[1]}\t4 :{a[2]}\t5 :{a[3]}"
+    )
+    if stats["core_num"]:
+        _log(
+            "CCDBG::PloidyEstimation(): Sites' Average Coverage:"
+            f"{stats['core_cov'] // stats['core_num']}"
+        )
+    return 0
+
+
 def run_analysis(opt) -> int:
     """The reference main run (src/Main.cpp:764-853): graph load,
     setUnitigId, findSuperBubble, ploidyEstimation."""
@@ -196,6 +318,116 @@ def build_graph_cli(opt) -> int:
         f"{g.total_length()} bp in {time.time() - t0:.1f}s"
     )
     g.write_gfa(opt.outprefix + ".gfa")
+    return 0
+
+
+def build_colored_graph_cli(opt) -> int:
+    """Native COLORED compacted-DBG construction (replaces
+    `Bifrost build -i -d -k 25 -c`, script/pipeline/run-multisample.sh).
+    Each positional argument is one sample (comma-separated files);
+    writes {outprefix}.gfa + {outprefix}.colors.npz."""
+    from .graph.colors import color_graph
+    from .graph.construct import build_graph_from_kmers, simplify
+    from .io.fastx import read_batches
+    from .kmer.count import KmerCounter
+
+    if not opt.inputs:
+        print("Error: no input samples", file=sys.stderr)
+        return 1
+    t0 = time.time()
+    sample_kmers = []
+    names = []
+    for sample in opt.inputs:
+        files = sample.split(",")
+        counter = KmerCounter(opt.k)
+        for batch in read_batches(files, opt.k):
+            counter.add_reads(batch)
+        km, ct = counter.arrays()
+        sample_kmers.append(np.asarray(km, dtype=np.uint64))
+        names.append(files[0])
+    union = np.unique(np.concatenate(sample_kmers))
+    g = simplify(build_graph_from_kmers(union, opt.k), opt.k)
+    colors = color_graph(g, sample_kmers, names)
+    _log(
+        f"build -c: {len(g)} unitigs, {g.nb_kmers()} kmers, "
+        f"{colors.n_colors} colors in {time.time() - t0:.1f}s"
+    )
+    g.write_gfa(opt.outprefix + ".gfa")
+    save_color_matrix(opt.outprefix + ".colors.npz", colors)
+    return 0
+
+
+def run_multisample_pipeline_cli(opt) -> int:
+    """Native end-to-end multi-sample run (replaces
+    script/pipeline/run-multisample.sh): per-sample count + cutoffs ->
+    masked k-mer union -> colored graph -> colored analysis -> model.
+    Every stage boundary is a durable artifact (SURVEY §5
+    checkpoint/resume)."""
+    from .graph.colors import color_graph
+    from .graph.construct import build_graph_from_kmers, simplify
+    from .io.fastx import read_batches
+    from .kmer.count import KmerCounter
+    from .kmer.cutoffs import cutoff_lower_from_counts, cutoff_upper_from_counts
+    from .model.gmm import run_model
+
+    if not opt.inputs:
+        print("Error: no input samples", file=sys.stderr)
+        return 1
+    pre = opt.outprefix
+    filtered = []
+    names = []
+    cutoffs = []
+    db_list_path = pre + ".kmc_list.txt"
+    with open(db_list_path, "w") as dblist, open(
+        pre + ".coverage_cutoff.txt", "w"
+    ) as covfile:
+        for i, sample in enumerate(opt.inputs):
+            files = sample.split(",")
+            counter = KmerCounter(opt.k)
+            for batch in read_batches(files, opt.k):
+                counter.add_reads(batch)
+            counter.write_histogram(f"{pre}.s{i}.hist.txt")
+            hist = counter.histogram(10000)
+            lower = max(10, cutoff_lower_from_counts(list(hist[1:])))
+            upper = cutoff_upper_from_counts(list(hist[1:]), opt.frequency)
+            _log(f"pipeline-multi: sample {i} cutoffs L={lower} U={upper}")
+            km, ct = counter.arrays()
+            km = np.asarray(km, dtype=np.uint64)
+            ct = np.asarray(ct)
+            np.savez(f"{pre}.s{i}.kmers.npz", kmers=km, counts=ct, k=opt.k)
+            dblist.write(f"{pre}.s{i}.kmers.npz\n")
+            covfile.write(f"{lower}\t{upper}\n")
+            cutoffs.append((lower, upper))
+            # per-sample masking: keep k-mers with count >= lower
+            # (kmc_tools filter -ci<lower>, script/pipeline/3.filter)
+            filtered.append(km[ct >= lower])
+            names.append(files[0])
+    union = np.unique(np.concatenate(filtered))
+    g = simplify(build_graph_from_kmers(union, opt.k), opt.k)
+    colors = color_graph(g, filtered, names)
+    g.write_gfa(pre + ".gfa")
+    save_color_matrix(pre + ".colors.npz", colors)
+    opt.graphfile = pre + ".gfa"
+    opt.colorfile = pre + ".colors.npz"
+    opt.db = db_list_path
+    opt.coverage_vec = cutoffs
+    rc = run_colored_analysis(opt)
+    if rc:
+        return rc
+    ploidy = run_model(
+        pre,
+        fre_file=os.path.join(
+            "PloidyFrost_output", pre + "_allele_frequency.txt"
+        ),
+        gauss_lower=1,
+        gauss_upper=9,
+        frequency=0.0,
+        max_iter=1000,
+        delta=opt.delta,
+        m_threshold=opt.mthreshold,
+        n_threshold=opt.nthreshold,
+    )
+    _log(f"estimated ploidy level is : {int(ploidy)}")
     return 0
 
 

@@ -1,0 +1,491 @@
+"""Colored (multi-sample) variant-site extraction + emission.
+
+Behavioral port of the analysis phase of CCDBG::ploidyEstimation_ptr
+(src/CCDBG.cpp:2759-3531): per-color coverage vectors, the uniformly-
+colored-branch requirement, Cramér's V association between samples, and
+the colored output row formats (Color column after the coverages,
+Cramer column between VarNum and VarDis).
+
+Same two-pass TPU structure as the uncolored path (sites/emit.py):
+pass 1 walks the bubble state machine on host and records pending
+per-color coverage references; all k-mer count probes resolve in C
+batched device gathers (one per color database); pass 2 applies the
+reference's gates and writes rows in the original sequential order.
+
+Deliberately-mirrored reference quirks (documented, not accidental):
+  * the entrance-unitig "core" coverage loop's failure branch contains
+    `flag == false;` (a comparison, not an assignment,
+    src/CCDBG.cpp:2852) — so a failing color only stops the summation,
+    it never drops the bubble;
+  * Cramér's V is computed ONCE per bubble over the branch coverage
+    vectors in the strict path (src/CCDBG.cpp:2957-2963) but PER SITE
+    over the allele-group coverages in the branching path
+    (src/CCDBG.cpp:3280-3287);
+  * std::max(coefficient, v) keeps `coefficient` when v is NaN
+    (0/0 expected counts); Python's max() would propagate NaN, so the
+    comparison is written out explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..align.msa import SeqAlign
+from ..bubble.superbubble import NULL, BubbleState
+from ..graph.cdbg import CDBGraph
+from ..graph.colors import ColorMatrix, KmerPosIndex
+from ..util.format import cpp_double
+from .emit import (
+    _enumerate_paths,
+    _indel_windows,
+    _snp_windows,
+    _sorted_desc_by_len_then_str,
+    _var_distance,
+)
+
+
+def cramer_v(A, B) -> float:
+    """Cramér's V between two coverage vectors
+    (CCDBG::computeCramerVCoefficient, src/CCDBG.cpp:330-366)."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    p = A + B
+    n = float(p.sum())
+    nA = float(A.sum())
+    nB = float(B.sum())
+    count = int((p != 0).sum())
+    if count < 2:
+        return 0.0
+    chi = np.float64(0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(len(A)):
+            if p[i] == 0:
+                continue
+            exA = np.float64(nA) * p[i] / n
+            exB = np.float64(nB) * p[i] / n
+            chi = chi + (A[i] - exA) ** 2 / exA
+            chi = chi + (B[i] - exB) ** 2 / exB
+    return float(np.sqrt(chi / n))
+
+
+def max_cramer(cov_vec: np.ndarray) -> float:
+    """max over color pairs, with std::max's NaN-keeps-left semantics
+    (src/CCDBG.cpp:2957-2963)."""
+    C = cov_vec.shape[0]
+    coefficient = 0.0
+    for ci in range(C - 1):
+        for cj in range(ci + 1, C):
+            v = cramer_v(cov_vec[ci], cov_vec[cj])
+            coefficient = v if coefficient < v else coefficient
+    return coefficient
+
+
+@dataclass
+class ColoredSiteEmission:
+    maxnum: int
+    is_simple: bool
+    var_type_indel_len: int
+    var_id: int
+    var_num: int
+    var_dis: int
+    # strict: per-color per-group coverages + the per-bubble coefficient
+    color_group_cov: np.ndarray | None = None  # [C, maxnum]
+    coefficient: float | None = None
+    # branching: per allele group, SORTED distinct window strings
+    group_windows: list[list[str]] | None = None
+
+
+@dataclass
+class ColoredBubbleEmission:
+    var_id: int
+    is_simple: bool
+    entrance_id: int
+    exit_id: int
+    aligned_rows: list[str]
+    core_cov: float
+    sites: list[ColoredSiteEmission] = field(default_factory=list)
+
+
+def unitig_coverage_colored(dbs, g: CDBGraph, cutoffs):
+    """Batched readCovUni for every (unitig, color)
+    (src/CCDBG.cpp:123-156): per-color mean k-mer count and an
+    all-k-mers-within-(low,up) validity flag. One device gather pass
+    per color database."""
+    from ..kmer.pack import string_kmers_np
+
+    k = g.k
+    lens = np.array([len(s) - k + 1 for s in g.seqs], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.empty(int(offs[-1]), dtype=np.uint64)
+    for i, s in enumerate(g.seqs):
+        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, k)
+    seg = np.repeat(np.arange(len(lens)), lens)
+    C = len(dbs)
+    mean = np.zeros((len(lens), C), dtype=np.float64)
+    ok = np.zeros((len(lens), C), dtype=bool)
+    for c, db in enumerate(dbs):
+        counts, hit = db.lookup(flat)
+        low, up = cutoffs[c]
+        counts = counts.astype(np.float64)
+        inb = hit & (counts > low) & (counts < up)
+        allok = np.ones(len(lens), dtype=bool)
+        np.logical_and.at(allok, seg, inb)
+        sums = np.bincount(seg, weights=counts, minlength=len(lens))
+        mean[:, c] = sums / lens
+        ok[:, c] = allok
+    return mean, ok
+
+
+def window_coverage_colored(dbs, strings: list[str], cutoffs):
+    """Batched readCov(s, low, up, color) (src/CCDBG.cpp:89-122) for
+    every distinct window string against every color database.
+    Returns dict window -> (means[C], oks[C])."""
+    from ..kmer.pack import string_kmers_np
+
+    uniq = sorted(set(strings))
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if not uniq:
+        return out
+    k = dbs[0].k
+    lens = np.array([len(s) - k + 1 for s in uniq], dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.empty(int(offs[-1]), dtype=np.uint64)
+    for i, s in enumerate(uniq):
+        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, k)
+    seg = np.repeat(np.arange(len(lens)), lens)
+    C = len(dbs)
+    means = np.zeros((len(lens), C), dtype=np.float64)
+    oks = np.zeros((len(lens), C), dtype=bool)
+    for c, db in enumerate(dbs):
+        counts, hit = db.lookup(flat)
+        low, up = cutoffs[c]
+        counts = counts.astype(np.float64)
+        inb = hit & (counts > low) & (counts < up)
+        allok = np.ones(len(lens), dtype=bool)
+        np.logical_and.at(allok, seg, inb)
+        sums = np.bincount(seg, weights=counts, minlength=len(lens))
+        means[:, c] = sums / lens
+        oks[:, c] = allok
+    for i, s in enumerate(uniq):
+        out[s] = (means[i], oks[i])
+    return out
+
+
+def analyze_bubbles_colored(
+    g: CDBGraph,
+    colors: ColorMatrix,
+    state: BubbleState,
+    umean: np.ndarray,
+    uok: np.ndarray,
+    match: float = 2.0,
+    mismatch: float = -1.0,
+    gap: float = -3.0,
+):
+    """Pass 1 of the colored ploidyEstimation (src/CCDBG.cpp:2759-3531).
+
+    umean/uok: per-(unitig, color) mean coverage and validity from
+    unitig_coverage_colored. Returns (emissions, window strings,
+    window->contained-colors map).
+    """
+    seqalign = SeqAlign(match, mismatch, gap)
+    k = g.k
+    C = colors.n_colors
+    kindex: KmerPosIndex | None = None
+    emissions: list[ColoredBubbleEmission] = []
+    window_strings: list[str] = []
+    window_colors: dict[str, np.ndarray] = {}
+    var_count = 0
+
+    for ui in range(len(g)):
+        if state.is_both_visited(ui):
+            continue
+        while not state.is_both_visited(ui):
+            if not state.is_plus_visited(ui):
+                strand = True
+                if state.is_complex(ui, True):
+                    state.set_visited(ui, True)
+                    continue
+            elif not state.is_minus_visited(ui):
+                strand = False
+                if state.is_complex(ui, False):
+                    state.set_visited(ui, False)
+                    break
+            else:
+                break
+            u = g.handle(ui, strand)
+            is_strict = state.is_strict(ui, strand)
+            # entrance "core" coverage: sum per-color means until the
+            # first failing color; the reference's `flag == false;` is a
+            # no-op comparison so failure never drops the bubble
+            # (src/CCDBG.cpp:2840-2855)
+            core = 0.0
+            for ci in range(C):
+                if uok[ui, ci]:
+                    core += float(umean[ui, ci])
+                else:
+                    break
+            if is_strict:
+                exit_h = u.successors()[0].successors()[0]
+                if u.seq < exit_h.seq:
+                    state.set_visited(ui, strand)
+                    continue
+                branches = u.successors()
+                flag = True
+                cov_vec = np.zeros((C, len(branches)), dtype=np.float64)
+                path_color: list[int] = []
+                for path, uu in enumerate(branches):
+                    full = colors.full_colors(uu.idx)
+                    j = 0
+                    for ci in range(C):
+                        if full[ci]:
+                            j += 1
+                            if uok[uu.idx, ci]:
+                                cov_vec[ci, path] = umean[uu.idx, ci]
+                            else:
+                                flag = False
+                                break
+                    if not flag:
+                        break
+                    # uniformly-colored requirement (src/CCDBG.cpp:2898-2902)
+                    if colors.size(uu.idx) != j * uu.length:
+                        flag = False
+                        break
+                    path_color.append(j)
+                if flag:
+                    # some color must cover >= 2 branches (src/CCDBG.cpp:2906-2924)
+                    flag = bool(((cov_vec != 0.0).sum(axis=1) > 1).any())
+                if flag:
+                    # sortSeq_simple: color count desc, then length desc,
+                    # then lexicographic desc (src/CCDBG.cpp:368-472)
+                    refs = [b.seq for b in branches]
+                    order = sorted(
+                        range(len(branches)),
+                        key=lambda i: (path_color[i], len(refs[i]), refs[i]),
+                        reverse=True,
+                    )
+                    branches = [branches[i] for i in order]
+                    cov_vec = cov_vec[:, order]
+                    str_vec = [b.mapped_seq for b in branches]
+                    rows, snp_pos, indel_pos, partition, indel_len = (
+                        seqalign.sequence_alignment(str_vec)
+                    )
+                    var_count += 1
+                    be = ColoredBubbleEmission(
+                        var_count,
+                        True,
+                        int(g.ids[ui]),
+                        int(g.ids[exit_h.idx]),
+                        rows,
+                        core,
+                    )
+                    var_site = [
+                        i for i in range(len(partition)) if partition[i][-1] > 0
+                    ]
+                    coefficient = max_cramer(cov_vec)
+                    indel = 0
+                    for i, vs in enumerate(var_site):
+                        part = partition[vs]
+                        maxnum = max(part)
+                        group_cov = np.zeros((C, maxnum), dtype=np.float64)
+                        for ci in range(C):
+                            for j in range(len(part)):
+                                group_cov[ci, part[j] - 1] += cov_vec[ci, j]
+                        vd = _var_distance(i, var_site, u.size, exit_h.size)
+                        if vs in indel_pos:
+                            indel += 1
+                            vt = indel_len[indel - 1]
+                        else:
+                            vt = 0
+                        be.sites.append(
+                            ColoredSiteEmission(
+                                maxnum,
+                                True,
+                                vt,
+                                var_count,
+                                len(var_site),
+                                vd,
+                                color_group_cov=group_cov,
+                                coefficient=coefficient,
+                            )
+                        )
+                    emissions.append(be)
+            else:
+                partner = state.bubble_exit(ui, strand)
+                if partner == NULL:
+                    state.set_visited(ui, strand)
+                    continue
+                exit_h = u.successors()[0]
+                while exit_h.idx != partner:
+                    exit_h = exit_h.successors()[0]
+                if u.seq < exit_h.seq:
+                    state.set_visited(ui, strand)
+                    continue
+                str_vec = _enumerate_paths(g, u, exit_h)
+                str_vec = _sorted_desc_by_len_then_str(str_vec)
+                rows, snp_pos, indel_pos, partition, indel_len = (
+                    seqalign.sequence_alignment(str_vec)
+                )
+                var_count += 1
+                be = ColoredBubbleEmission(
+                    var_count,
+                    False,
+                    int(g.ids[ui]),
+                    int(g.ids[exit_h.idx]),
+                    rows,
+                    core,
+                )
+                var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
+                indel = 0
+                for i, vs in enumerate(var_site):
+                    part = partition[vs]
+                    maxnum = max(part)
+                    vd = _var_distance(i, var_site, u.size, exit_h.size)
+                    if vs in indel_pos:
+                        windows = _indel_windows(rows, vs, indel, k)
+                        indel += 1
+                        vt = indel_len[indel - 1]
+                    else:
+                        windows = _snp_windows(rows, vs, indel, indel_len, k)
+                        vt = 0
+                    group_sets: list[set[str]] = [set() for _ in range(maxnum)]
+                    for pi in range(len(part)):
+                        group_sets[part[pi] - 1].add(windows[pi])
+                    gw = [sorted(s) for s in group_sets]
+                    for grp in gw:
+                        for w in grp:
+                            window_strings.append(w)
+                            if w not in window_colors:
+                                # findUnitig(s,0,len) -> colors of the
+                                # window's first k-mer (src/CCDBG.cpp:3250)
+                                if kindex is None:
+                                    kindex = KmerPosIndex(g)
+                                wi, pos, hit = kindex.find_string_head(w)
+                                assert hit, f"window head k-mer not in graph: {w[:k]}"
+                                window_colors[w] = colors.colors_at(wi, pos).copy()
+                    be.sites.append(
+                        ColoredSiteEmission(
+                            maxnum,
+                            False,
+                            vt,
+                            var_count,
+                            len(var_site),
+                            vd,
+                            group_windows=gw,
+                        )
+                    )
+                emissions.append(be)
+            state.set_visited(ui, strand)
+            if exit_h.strand:
+                state.set_visited(exit_h.idx, False)
+            else:
+                state.set_visited(exit_h.idx, True)
+    return emissions, window_strings, window_colors
+
+
+def write_outputs_colored(
+    emissions: list[ColoredBubbleEmission],
+    window_cov: dict[str, tuple[np.ndarray, np.ndarray]],
+    window_colors: dict[str, np.ndarray],
+    n_colors: int,
+    outpre: str,
+    outdir: str = "PloidyFrost_output",
+) -> dict:
+    """Pass 2: resolve pending per-color coverages and write the colored
+    output tables (row formats src/CCDBG.cpp:3021-3046, 3300-3330)."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+
+    def op(name):
+        return open(os.path.join(outdir, outpre + name), "w")
+
+    C = n_colors
+    allele = [0, 0, 0, 0]
+    core_cov = 0
+    core_num = 0
+    with op("_allele_frequency.txt") as allfre, op("_bifre.txt") as bifre, op(
+        "_trifre.txt"
+    ) as trifre, op("_tetrafre.txt") as tetrafre, op("_pentafre.txt") as pentafre, op(
+        "_bicov.txt"
+    ) as bicov, op("_tricov.txt") as tricov, op("_tetracov.txt") as tetracov, op(
+        "_pentacov.txt"
+    ) as pentacov, op("_alignseq.txt") as s_var:
+        fre_files = {2: bifre, 3: trifre, 4: tetrafre, 5: pentafre}
+        cov_files = {2: bicov, 3: tricov, 4: tetracov, 5: pentacov}
+
+        def emit_color_rows(res_cov: list[float], ci: int, tail: str):
+            total = sum(res_cov)
+            fre_info = "".join(cpp_double(c / total) + "\n" for c in res_cov)
+            cov_info = (
+                "".join(cpp_double(c) + "\t" for c in res_cov) + f"{ci}\t" + tail
+            )
+            allfre.write(fre_info)
+            if 2 <= len(res_cov) <= 5:
+                allele[len(res_cov) - 2] += 1
+                fre_files[len(res_cov)].write(fre_info)
+                cov_files[len(res_cov)].write(cov_info)
+
+        for be in emissions:
+            for row in be.aligned_rows:
+                s_var.write(
+                    f"{be.var_id}\t{1 if be.is_simple else 0}\t"
+                    f"{be.entrance_id}\t{be.exit_id}\t{row}\n"
+                )
+            core_cov += int(be.core_cov)
+            core_num += 1
+            for site in be.sites:
+                if site.color_group_cov is not None:
+                    # strict: tail = isSimple, VarType, VarId, VarNum,
+                    # Cramer, VarDis (src/CCDBG.cpp:3021-3033)
+                    tail = (
+                        f"1\t{site.var_type_indel_len}\t{site.var_id}\t"
+                        f"{site.var_num}\t{cpp_double(site.coefficient)}\t"
+                        f"{site.var_dis}\t\n"
+                    )
+                    for ci in range(C):
+                        res = [
+                            float(c) for c in site.color_group_cov[ci] if c > 0.0
+                        ]
+                        if len(res) < 2:
+                            continue
+                        emit_color_rows(res, ci, tail)
+                else:
+                    # branching: resolve per-color window coverage
+                    cov_vec = np.zeros((C, site.maxnum), dtype=np.float64)
+                    color_set: set[int] = set()
+                    ok = True
+                    for gi, grp in enumerate(site.group_windows):
+                        for w in grp:
+                            contained = window_colors[w]
+                            means, oks = window_cov[w]
+                            for ci in np.nonzero(contained)[0]:
+                                color_set.add(int(ci))
+                                if not oks[ci]:
+                                    ok = False
+                                    break
+                                cov_vec[ci, gi] += means[ci]
+                            if not ok:
+                                break
+                        if not ok:
+                            break
+                    if len(color_set) != C:
+                        continue
+                    if not ok:
+                        continue
+                    coefficient = max_cramer(cov_vec)
+                    tail_mid = (
+                        f"0\t{site.var_type_indel_len}\t{site.var_id}\t"
+                        f"{site.var_num}\t{cpp_double(coefficient)}\t"
+                        f"{site.var_dis}\t\n"
+                    )
+                    for ci in range(C):
+                        res = [float(c) for c in cov_vec[ci] if c > 0.0]
+                        if len(res) < 2:
+                            continue
+                        emit_color_rows(res, ci, tail_mid)
+    return {"allele": allele, "core_cov": core_cov, "core_num": core_num}
