@@ -368,6 +368,18 @@ def main(argv=None) -> int:
         return cmd_pipeline(argv[1:])
     if cmd == "pipeline-multi":
         return cmd_pipeline_multi(argv[1:])
+    if cmd == "filter":
+        from .filter import cmd_filter
+
+        return cmd_filter(argv[1:], multi=False)
+    if cmd == "filter-multi":
+        from .filter import cmd_filter
+
+        return cmd_filter(argv[1:], multi=True)
+    if cmd == "drawfreq":
+        from .filter import cmd_drawfreq
+
+        return cmd_drawfreq(argv[1:])
     return cmd_run(argv)
 
 
