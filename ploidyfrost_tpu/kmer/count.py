@@ -5,20 +5,35 @@ The reference pipeline shells out to `kmc -ci1 -cs10000 -k25`
 probed one k-mer at a time via prefix-LUT + binary search
 (KMC/kmc_api/kmc_file.cpp). TPU-native replacement:
 
-    reads -> 2-bit pack -> canonical k-mers -> sort -> segment-reduce
+    reads -> 2-bit pack -> canonical k-mers -> instance buffer
+          -> (rare) collapse: one big sort + run-length reduce + merge
 
-The count table lives in HBM as a sorted (kmers: uint64, counts: int64)
-pair padded to a fixed power-of-two capacity with SENTINEL keys, so every
-merge step has static shapes: one compiled program is reused for the
-whole stream. Capacity overflow is *detected* on device and the host
-doubles the table and replays the batch — never a silent drop.
+Design, driven by measured v5e op costs (ns/element):
+  * XLA sort is the fast primitive (~4 ns/elt/operand); 64-bit scatters
+    (~140 ns/elt), segment_sum (~70 ns/elt) and searchsorted (~700
+    ns/query) are 1-2 orders slower. So the counter NEVER scatters and
+    NEVER probes: it appends raw canonical k-mer instances to a
+    device-resident buffer (dynamic_update_slice, contiguous) and
+    amortizes ALL reduction work into rare buffer-sized collapses.
+  * keys travel as two uint32 operands (a k<=31 canonical k-mer is <=62
+    bits) because multi-operand u32 sorts are ~2x cheaper than u64 on
+    the VPU, and counts are int32 (KMC saturates at -cs10000 anyway, so
+    per-collapse clamping reproduces the reference's saturation exactly:
+    clamp(a)+clamp(b) re-clamped == clamp(a+b) whenever either side or
+    the sum crosses the cap).
+  * a collapse sorts the buffer (2-op sort), finds run starts, compacts
+    them with a second (key,pos) sort — cheaper than any scatter — takes
+    run lengths as position diffs, then merges with the resident unique
+    table via one small 3-op sort. ~74M k-mers/s/chip at a 96M buffer.
+  * capacity overflow is *detected* at collapse time (the true unique
+    count is returned uncapped) and the host grows the table and replays
+    the same buffer — never a silent drop.
 
-Lookups (the CheckKmer replacement) are batched `searchsorted` gathers —
-thousands of probes per device call instead of one binary search per
-k-mer per call.
+Histograms are one device bincount at finalize; `cutoffL`/`cutoffU`
+consume them unchanged (src/Main.cpp:200-277).
 
 Multi-chip: shard the k-mer space by hash (see parallel/sharded.py);
-each shard runs this same merge locally after an all_to_all exchange,
+each shard runs this same collapse locally after an all_to_all exchange,
 histograms merge with psum.
 """
 
@@ -33,83 +48,238 @@ import numpy as np
 from .pack import batch_kmers
 
 SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+SENT32 = 0xFFFFFFFF
 # KMC counter saturation: -cs10000 (script/pipeline/2.kmc_db:12). Counts are
 # capped at this value both in the reference database and here.
 DEFAULT_COUNTER_MAX = 10000
 
+_I32_MAX = jnp.int32(0x7FFFFFFF)
 
-@functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
-def _merge_batch(table_km, table_ct, canon, valid, capacity):
-    """Merge a batch of canonical k-mers into the fixed-capacity table.
 
-    table_km/table_ct: [capacity] sorted, SENTINEL-padded.
-    canon/valid:       any shape, flattened.
-    Returns (table_km, table_ct, n_live, overflow).
+@functools.partial(jax.jit, static_argnums=(1,))
+def _extract(codes, k):
+    """[B, L] uint8 codes -> (hi, lo) u32 canonical k-mer pairs, invalid
+    windows replaced by the (SENT32, SENT32) sentinel pair, + valid count."""
+    canon, valid = batch_kmers(codes, k)
+    canon = canon.ravel()
+    valid = valid.ravel()
+    hi = jnp.where(valid, (canon >> jnp.uint64(32)).astype(jnp.uint32), SENT32)
+    lo = jnp.where(valid, canon.astype(jnp.uint32), SENT32)
+    return hi, lo, jnp.sum(valid, dtype=jnp.int64)
+
+
+@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
+def _extract_append(bhi, blo, nvalid, codes, fill, k):
+    """Fused pack + canonicalize + buffer append: ONE dispatch per read
+    batch (dispatch latency through remote-device tunnels is material)."""
+    canon, valid = batch_kmers(codes, k)
+    canon = canon.ravel()
+    valid = valid.ravel()
+    hi = jnp.where(valid, (canon >> jnp.uint64(32)).astype(jnp.uint32), SENT32)
+    lo = jnp.where(valid, canon.astype(jnp.uint32), SENT32)
+    bhi = jax.lax.dynamic_update_slice(bhi, hi, (fill,))
+    blo = jax.lax.dynamic_update_slice(blo, lo, (fill,))
+    return bhi, blo, nvalid + jnp.sum(valid, dtype=jnp.int64)
+
+
+@jax.jit
+def _split_u64(canon, valid):
+    canon = canon.ravel()
+    valid = valid.ravel()
+    hi = jnp.where(valid, (canon >> jnp.uint64(32)).astype(jnp.uint32), SENT32)
+    lo = jnp.where(valid, canon.astype(jnp.uint32), SENT32)
+    return hi, lo, jnp.sum(valid, dtype=jnp.int64)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _append(bhi, blo, hi, lo, fill):
+    bhi = jax.lax.dynamic_update_slice(bhi, hi, (fill,))
+    blo = jax.lax.dynamic_update_slice(blo, lo, (fill,))
+    return bhi, blo
+
+
+@jax.jit
+def _join_u64(hi, lo):
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+
+
+def _collapse(thi, tlo, tct, bhi, blo, counter_max):
+    """Collapse `bhi/blo` instance buffer into the unique table.
+
+    Returns (hi, lo, ct, n_unique) where n_unique is the TRUE number of
+    distinct keys (may exceed the table capacity => host must grow and
+    replay). Sentinel keys (invalid k-mers / padding) sort last and are
+    excluded. All reductions are sorts + cumsums + small gathers — no
+    scatters (measured ~10-100x slower than sort on v5e).
     """
-    km_new = jnp.where(valid.ravel(), canon.ravel(), SENTINEL)
-    ct_new = jnp.where(valid.ravel(), 1, 0).astype(jnp.int64)
-    km = jnp.concatenate([table_km, km_new])
-    ct = jnp.concatenate([table_ct, ct_new])
-    order = jnp.argsort(km)
-    km = km[order]
-    ct = ct[order]
-    first = jnp.concatenate([jnp.array([True]), km[1:] != km[:-1]])
-    seg = jnp.cumsum(first) - 1
-    out_ct = jax.ops.segment_sum(ct, seg, num_segments=capacity)
-    out_km = jnp.full((capacity,), SENTINEL, dtype=jnp.uint64)
-    out_km = out_km.at[seg].set(km, mode="drop")
-    out_ct = jnp.where(out_km == SENTINEL, 0, out_ct)
-    n_live = jnp.sum(out_km != SENTINEL)
-    # overflow: some non-sentinel key landed at/after `capacity`
-    overflow = jnp.any((seg >= capacity) & (km != SENTINEL))
-    return out_km, out_ct, n_live, overflow
+    cap = thi.shape[0]
+    nb = bhi.shape[0]
+
+    # ---- run-length reduce the raw instance buffer --------------------
+    h, l = jax.lax.sort((bhi, blo), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (h[1:] != h[:-1]) | (l[1:] != l[:-1])]
+    )
+    seg = jnp.cumsum(first, dtype=jnp.int32) - 1
+    ar = jnp.arange(nb, dtype=jnp.int32)
+    # compact run starts to the front with a (key, pos) sort
+    key = jnp.where(first, seg, _I32_MAX)
+    _, starts_all = jax.lax.sort((key, ar), num_keys=1)
+    n_runs = seg[-1] + 1
+    m = min(cap, nb)
+    starts = starts_all[:m]
+    r = jnp.arange(m, dtype=jnp.int32)
+    in_range = r < n_runs
+    nxt = jnp.where(r + 1 < n_runs, starts_all[jnp.minimum(r + 1, nb - 1)], nb)
+    bcnt = jnp.where(in_range, nxt - starts, 0).astype(jnp.int32)
+    sidx = jnp.minimum(starts, nb - 1)
+    buhi = jnp.where(in_range, h[sidx], SENT32)
+    bulo = jnp.where(in_range, l[sidx], SENT32)
+    # the sentinel run (if present) is the last run: zero it out
+    is_sent = buhi == SENT32
+    bcnt = jnp.where(is_sent, 0, bcnt)
+    buf_uniq_overflowed = n_runs > m  # only matters if non-sentinel runs lost
+
+    # ---- merge with the resident unique table (small 3-op sort) -------
+    mh = jnp.concatenate([thi, buhi])
+    ml = jnp.concatenate([tlo, bulo])
+    mc = jnp.concatenate([tct, bcnt])
+    mh, ml, mc = jax.lax.sort((mh, ml, mc), num_keys=2)
+    n2 = mh.shape[0]
+    f2 = jnp.concatenate(
+        [jnp.ones(1, bool), (mh[1:] != mh[:-1]) | (ml[1:] != ml[:-1])]
+    )
+    seg2 = jnp.cumsum(f2, dtype=jnp.int32) - 1
+    ar2 = jnp.arange(n2, dtype=jnp.int32)
+    key2 = jnp.where(f2, seg2, _I32_MAX)
+    _, st2 = jax.lax.sort((key2, ar2), num_keys=1)
+    stc = st2[:cap]
+    rr = jnp.arange(cap, dtype=jnp.int32)
+    n_runs2 = seg2[-1] + 1
+    # count of distinct keys, EXCLUDING the merged sentinel run
+    sent_present = mh[-1] == SENT32
+    n_uniq = n_runs2 - sent_present.astype(jnp.int32)
+    in2 = rr < n_uniq
+    # each merged run has AT MOST 2 contributors (the resident table and
+    # the buffer-uniq list are each internally unique), so a run's count
+    # is mc[start] (+ mc[start+1] for length-2 runs) — two gathers, no
+    # 64-bit cumsum over the merge
+    sidx2 = jnp.minimum(stc, n2 - 1)
+    pair = jnp.minimum(stc + 1, n2 - 1)
+    has2 = jnp.logical_not(f2[pair]) & (pair > stc)
+    uct = mc[sidx2] + jnp.where(has2, mc[pair], 0)
+    # KMC -cs saturation; also keeps cross-collapse sums in int32 range
+    uct = jnp.where(in2, jnp.minimum(uct, counter_max), 0).astype(jnp.int32)
+    uhi = jnp.where(in2, mh[sidx2], SENT32)
+    ulo = jnp.where(in2, ml[sidx2], SENT32)
+    n_uniq = n_uniq + jnp.where(buf_uniq_overflowed, cap + 1, 0)
+    return uhi, ulo, uct, n_uniq
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _grow(km, ct, capacity):
-    out_km = jnp.full((capacity,), SENTINEL, dtype=jnp.uint64)
-    out_ct = jnp.zeros((capacity,), dtype=jnp.int64)
-    n = min(capacity, km.shape[0])
-    return out_km.at[:n].set(km[:n]), out_ct.at[:n].set(ct[:n])
+_collapse_jit = jax.jit(_collapse)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
-def _histogram(km, ct, max_cov, counter_max):
-    live = km != SENTINEL
+def _histogram(ct, n_uniq, max_cov, counter_max):
+    # n_uniq must be a device scalar (a Python int would bake into the
+    # compiled program and recompile per value). Histogram = sort +
+    # bin-edge search: ~20x faster than bincount's scatter-add on TPU.
+    idx = jnp.arange(ct.shape[0], dtype=jnp.int32)
     c = jnp.clip(jnp.minimum(ct, counter_max), 0, max_cov)
-    c = jnp.where(live, c, 0).astype(jnp.int32)
-    return jnp.bincount(c, length=max_cov + 1).at[0].set(0)
+    c = jnp.where(idx < n_uniq, c, 0).astype(jnp.int32)
+    cs = jax.lax.sort(c)
+    edges = jnp.searchsorted(cs, jnp.arange(max_cov + 2, dtype=jnp.int32))
+    hist = (edges[1:] - edges[:-1]).astype(jnp.int64)
+    return hist.at[0].set(0)
+
+
+def _pow2(n: int, floor: int = 1) -> int:
+    return 1 << max(n - 1, floor - 1, 0).bit_length()
+
+
+def _pad_tier(n: int, floor: int) -> int:
+    """Quarter-power-of-two tiers: the smallest {1, 1.25, 1.5, 1.75} x 2^j
+    >= n. Bounds both compile count (4 tiers per octave) and sort padding
+    waste (<25%)."""
+    n = max(n, floor)
+    p = 1 << (n - 1).bit_length()
+    for num in (5, 6, 7):
+        t = (p // 8) * num
+        if t >= n:
+            return t
+    return p
 
 
 class KmerCounter:
-    """Streaming canonical k-mer counter with a device-resident table."""
+    """Streaming canonical k-mer counter with a device-resident table.
+
+    add_reads/add_kmers append instances to the device buffer in O(n)
+    contiguous writes with no host synchronization; all reduction work
+    happens in rare whole-buffer collapses (see module docstring).
+    """
+
+    # pad tiers for partial-buffer collapses: bounded compile count
+    _MIN_PAD = 1 << 18
 
     def __init__(
         self,
         k: int,
         counter_max: int = DEFAULT_COUNTER_MAX,
-        initial_capacity: int = 1 << 16,
+        initial_capacity: int = 1 << 20,
+        buffer_capacity: int = 8 << 20,
     ):
         if not 1 <= k <= 31:
             raise ValueError("k must be in [1, 31] for single-word packing")
         self.k = k
         self.counter_max = counter_max
-        cap = 1 << (initial_capacity - 1).bit_length()
-        self._km = jnp.full((cap,), SENTINEL, dtype=jnp.uint64)
-        self._ct = jnp.zeros((cap,), dtype=jnp.int64)
-        self._n_live = 0
-        self.total_kmers = 0  # total (valid) k-mer instances processed
+        cap = _pow2(initial_capacity)
+        self._cap = cap
+        self._thi = jnp.full((cap,), SENT32, dtype=jnp.uint32)
+        self._tlo = jnp.full((cap,), SENT32, dtype=jnp.uint32)
+        self._tct = jnp.zeros((cap,), dtype=jnp.int32)
+        self._buf_cap = _pow2(buffer_capacity, self._MIN_PAD)
+        self._bhi = jnp.full((self._buf_cap,), SENT32, dtype=jnp.uint32)
+        self._blo = jnp.full((self._buf_cap,), SENT32, dtype=jnp.uint32)
+        self._fill = 0  # host-tracked; sentinel-padded beyond
+        self._n_live = 0  # valid only when _fill == 0
+        self._n_valid_dev = jnp.zeros((), dtype=jnp.int64)
+        self._total_host = 0
+
+    # -- properties ------------------------------------------------------
 
     @property
     def capacity(self) -> int:
-        return int(self._km.shape[0])
+        return self._cap
 
-    # -- ingestion -----------------------------------------------------
+    @property
+    def total_kmers(self) -> int:
+        """Total (valid) k-mer instances processed. Syncs the device."""
+        return self._total_host + int(self._n_valid_dev)
+
+    @property
+    def num_unique(self) -> int:
+        self.flush()
+        return self._n_live
+
+    # -- ingestion -------------------------------------------------------
 
     def add_reads(self, codes: np.ndarray):
         """Count all canonical k-mers of a [B, L] uint8 code batch."""
-        canon, valid = batch_kmers(jnp.asarray(codes), self.k)
-        self._ingest(canon, valid)
+        codes = jnp.asarray(codes)
+        n = codes.shape[0] * (codes.shape[1] - self.k + 1)
+        if n > self._buf_cap:
+            hi, lo, nv = _extract(codes, self.k)
+            self._n_valid_dev = self._n_valid_dev + nv
+            self._push(hi, lo)
+            return
+        if self._fill + n > self._buf_cap:
+            self.flush()
+        # fast path: fused pack+canon+append, one dispatch per batch
+        self._bhi, self._blo, self._n_valid_dev = _extract_append(
+            self._bhi, self._blo, self._n_valid_dev, codes,
+            jnp.int32(self._fill), self.k,
+        )
+        self._fill += n
 
     def add_kmers(self, canon, valid=None):
         canon = jnp.asarray(canon, dtype=jnp.uint64).ravel()
@@ -117,36 +287,73 @@ class KmerCounter:
             valid = jnp.ones(canon.shape, bool)
         else:
             valid = jnp.asarray(valid).ravel()
-        self._ingest(canon, valid)
+        hi, lo, nv = _split_u64(canon, valid)
+        self._n_valid_dev = self._n_valid_dev + nv
+        self._push(hi, lo)
 
-    def _ingest(self, canon, valid):
-        batch_n = int(valid.sum())
-        self.total_kmers += batch_n
-        # grow BEFORE merging so the (donating) merge can never overflow:
-        # worst case every batch k-mer is new, so live <= n_live + batch_n.
-        need = self._n_live + batch_n
-        if need > self.capacity:
-            cap = self.capacity
-            while cap < need:
-                cap *= 2
-            self._km, self._ct = _grow(self._km, self._ct, cap)
-        km, ct, n_live, overflow = _merge_batch(
-            self._km, self._ct, canon, valid, self.capacity
+    def _push(self, hi, lo):
+        n = int(hi.shape[0])
+        if n > self._buf_cap:
+            # single batch larger than the whole buffer: rare; chunk it
+            for off in range(0, n, self._buf_cap):
+                self._push(hi[off : off + self._buf_cap],
+                           lo[off : off + self._buf_cap])
+            return
+        if self._fill + n > self._buf_cap:
+            self.flush()
+        self._bhi, self._blo = _append(
+            self._bhi, self._blo, hi, lo, jnp.int32(self._fill)
         )
-        assert not bool(overflow), "unreachable: capacity pre-grown"
-        self._km, self._ct, self._n_live = km, ct, int(n_live)
+        self._fill += n
 
-    # -- finalization / views -------------------------------------------
+    # -- collapse --------------------------------------------------------
 
-    @property
-    def num_unique(self) -> int:
-        return self._n_live
+    def flush(self):
+        """Collapse the instance buffer into the unique table."""
+        if self._fill == 0:
+            return
+        pad = min(_pad_tier(self._fill, self._MIN_PAD), self._buf_cap)
+        bhi = self._bhi[:pad] if pad < self._buf_cap else self._bhi
+        blo = self._blo[:pad] if pad < self._buf_cap else self._blo
+        while True:
+            uhi, ulo, uct, n_uniq = _collapse_jit(
+                self._thi, self._tlo, self._tct, bhi, blo,
+                jnp.int32(self.counter_max),
+            )
+            n = int(n_uniq)  # the one host sync per collapse
+            if n <= self._cap:
+                self._thi, self._tlo, self._tct = uhi, ulo, uct
+                self._n_live = n
+                break
+            # grow: true unique count exceeded capacity — replay buffer
+            self._cap = _pow2(n + n // 8)
+            grow = self._cap - self._thi.shape[0]
+            self._thi = jnp.concatenate(
+                [self._thi, jnp.full((grow,), SENT32, dtype=jnp.uint32)]
+            )
+            self._tlo = jnp.concatenate(
+                [self._tlo, jnp.full((grow,), SENT32, dtype=jnp.uint32)]
+            )
+            self._tct = jnp.concatenate(
+                [self._tct, jnp.zeros((grow,), dtype=jnp.int32)]
+            )
+        # reset the buffer (sentinel-fill so stale keys never resurface)
+        self._bhi = jnp.full((self._buf_cap,), SENT32, dtype=jnp.uint32)
+        self._blo = jnp.full((self._buf_cap,), SENT32, dtype=jnp.uint32)
+        self._fill = 0
+        self._total_host += int(self._n_valid_dev)
+        self._n_valid_dev = jnp.zeros((), dtype=jnp.int64)
+
+    # -- finalization / views ---------------------------------------------
 
     def arrays(self):
-        """(sorted unique canonical k-mers, counts) trimmed to live size."""
-        n = self.num_unique
-        ct = jnp.minimum(self._ct[:n], self.counter_max)
-        return self._km[:n], ct
+        """(sorted unique canonical k-mers u64, saturated counts) trimmed
+        to live size."""
+        self.flush()
+        n = self._n_live
+        km = _join_u64(self._thi[:n], self._tlo[:n])
+        ct = jnp.minimum(self._tct[:n], self.counter_max).astype(jnp.int64)
+        return km, ct
 
     def histogram(self, max_cov: int | None = None) -> np.ndarray:
         """KMC-style histogram: hist[c] = number of distinct k-mers with
@@ -155,10 +362,14 @@ class KmerCounter:
         Matches `kmc_tools transform db histogram` consumed by cutoffL/H
         (script/pipeline/2.kmc_db:14, src/Main.cpp:200-277).
         """
+        self.flush()
         if max_cov is None:
             max_cov = self.counter_max
         return np.asarray(
-            _histogram(self._km, self._ct, int(max_cov), self.counter_max)
+            _histogram(
+                self._tct, jnp.int32(self._n_live), int(max_cov),
+                self.counter_max,
+            )
         )
 
     def write_histogram(self, path: str, max_cov: int = 10000):
