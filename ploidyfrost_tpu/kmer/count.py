@@ -47,13 +47,16 @@ import numpy as np
 
 from .pack import batch_kmers
 
-SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+# numpy (NOT jnp) scalars: module-level jnp constants are committed device
+# arrays, and every jit lowering that closes over one fetches it back to
+# host — a multi-second round trip through remote-device tunnels.
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 SENT32 = 0xFFFFFFFF
 # KMC counter saturation: -cs10000 (script/pipeline/2.kmc_db:12). Counts are
 # capped at this value both in the reference database and here.
 DEFAULT_COUNTER_MAX = 10000
 
-_I32_MAX = jnp.int32(0x7FFFFFFF)
+_I32_MAX = np.int32(0x7FFFFFFF)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -119,7 +119,10 @@ def revcomp_kmers(kmers: jnp.ndarray, k: int) -> jnp.ndarray:
     x = jnp.asarray(kmers, dtype=jnp.uint64)
     x = ~x
     # swap adjacent 2-bit groups progressively (pairs, nibbles, bytes, ...)
-    m = jnp.uint64
+    # np (not jnp) scalars: jnp scalar construction under trace is an eager
+    # device_put, and lowering fetches each such constant back over the
+    # (slow) device tunnel.
+    m = np.uint64
     x = ((x >> m(2)) & m(0x3333333333333333)) | ((x & m(0x3333333333333333)) << m(2))
     x = ((x >> m(4)) & m(0x0F0F0F0F0F0F0F0F)) | ((x & m(0x0F0F0F0F0F0F0F0F)) << m(4))
     x = ((x >> m(8)) & m(0x00FF00FF00FF00FF)) | ((x & m(0x00FF00FF00FF00FF)) << m(8))
@@ -146,8 +149,8 @@ def sequence_kmers(codes: jnp.ndarray, k: int):
     n = L - k + 1
     acc = jnp.zeros(codes.shape[:-1] + (n,), dtype=jnp.uint64)
     for j in range(k):
-        b = codes[..., j : j + n].astype(jnp.uint64) & jnp.uint64(3)
-        acc = (acc << jnp.uint64(2)) | b
+        b = codes[..., j : j + n].astype(jnp.uint64) & np.uint64(3)
+        acc = (acc << np.uint64(2)) | b
     bad = (codes >= INVALID_BASE).astype(jnp.int32)
     cum = jnp.cumsum(bad, axis=-1)
     # window [i, i+k) contains an invalid base iff cum[i+k-1] - cum[i-1] > 0

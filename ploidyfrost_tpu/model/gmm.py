@@ -80,7 +80,7 @@ def _em_iterate(af, mask, means, weights, variances, max_iter, m_n_thre):
 
     ll0 = ll_of(variances, weights)
     v, w, ll, _, _ = jax.lax.while_loop(
-        cond, body, (variances, weights, ll0, jnp.float64(DBL_MAX), jnp.int64(0))
+        cond, body, (variances, weights, ll0, np.float64(DBL_MAX), np.int64(0))
     )
     return v, w, ll
 

@@ -116,7 +116,7 @@ def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
         order2 = jnp.argsort(allkm)
         allkm = allkm[order2]
         allct = allct[order2]
-        first = jnp.concatenate([jnp.array([True]), allkm[1:] != allkm[:-1]])
+        first = jnp.concatenate([np.array([True]), allkm[1:] != allkm[:-1]])
         seg = jnp.cumsum(first) - 1
         merged_ct = jax.ops.segment_sum(allct, seg, num_segments=table_cap)
         merged_km = jnp.full((table_cap,), SENTINEL, dtype=jnp.uint64)
