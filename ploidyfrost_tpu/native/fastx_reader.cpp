@@ -1,0 +1,259 @@
+// Native FASTA/FASTQ batch loader.
+//
+// TPU-native replacement for the reference's host-side read streaming
+// (bifrost/src/kseq.h, bifrost/src/FASTX_Parser.cpp, File_Parser.hpp):
+// streams (optionally gzipped) FASTX records, encodes bases to the shared
+// 2-bit code alphabet (A=0 C=1 G=2 T=3, 4=N/pad — bifrost/src/Common.hpp:34),
+// and fills caller-provided fixed-shape [batch_reads, max_len] uint8 arrays
+// that feed the device k-mer pipeline. Long reads are tiled into windows
+// overlapping by k-1 bases so no k-mer is lost at a seam; windows shorter
+// than k are dropped (they contain no k-mer).
+//
+// Exposed as a plain C ABI for ctypes binding (no pybind11 in this image).
+// Semantics are kept identical to the pure-Python fallback in
+// ploidyfrost_tpu/io/fastx.py::read_batches_py, which doubles as the test
+// oracle (tests/test_native.py).
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t kInvalid = 4;
+
+struct CodeTable {
+  uint8_t t[256];
+  CodeTable() {
+    memset(t, kInvalid, sizeof(t));
+    t[(unsigned)'A'] = t[(unsigned)'a'] = 0;
+    t[(unsigned)'C'] = t[(unsigned)'c'] = 1;
+    t[(unsigned)'G'] = t[(unsigned)'g'] = 2;
+    t[(unsigned)'T'] = t[(unsigned)'t'] = 3;
+  }
+};
+const CodeTable kCodes;
+
+struct Reader {
+  gzFile f = nullptr;
+  int fmt = 0;  // 0 = undetected, 1 = fasta, 2 = fastq
+  std::string err;
+
+  // chunked input buffer
+  std::vector<uint8_t> buf;
+  size_t pos = 0, len = 0;
+  bool in_eof = false;
+
+  // current record being windowed (already base-encoded)
+  std::vector<uint8_t> seq;
+  size_t win_start = 0;
+  bool have_seq = false;
+  bool done = false;
+
+  // reusable line assembly
+  std::vector<uint8_t> line;
+};
+
+bool fill(Reader* r) {
+  if (r->in_eof) return false;
+  int n = gzread(r->f, r->buf.data(), (unsigned)r->buf.size());
+  if (n <= 0) {
+    r->in_eof = true;
+    if (n < 0) {
+      int zerr = 0;
+      const char* msg = gzerror(r->f, &zerr);
+      r->err = msg ? msg : "gzread error";
+    }
+    return false;
+  }
+  r->pos = 0;
+  r->len = (size_t)n;
+  return true;
+}
+
+// Read one line (without trailing \n / \r) into r->line. Returns false at EOF
+// with an empty line.
+bool read_line(Reader* r) {
+  r->line.clear();
+  for (;;) {
+    if (r->pos >= r->len && !fill(r)) break;
+    const uint8_t* b = r->buf.data();
+    size_t i = r->pos;
+    const uint8_t* nl =
+        (const uint8_t*)memchr(b + i, '\n', r->len - i);
+    if (nl) {
+      size_t end = (size_t)(nl - b);
+      r->line.insert(r->line.end(), b + i, b + end);
+      r->pos = end + 1;
+      break;
+    }
+    r->line.insert(r->line.end(), b + i, b + r->len);
+    r->pos = r->len;
+  }
+  while (!r->line.empty() &&
+         (r->line.back() == '\r' || r->line.back() == ' ' ||
+          r->line.back() == '\t')) {
+    r->line.pop_back();
+  }
+  return !(r->line.empty() && r->in_eof && r->pos >= r->len);
+}
+
+void encode_append(std::vector<uint8_t>* out, const std::vector<uint8_t>& in) {
+  size_t n = in.size(), base = out->size();
+  out->resize(base + n);
+  uint8_t* dst = out->data() + base;
+  const uint8_t* src = in.data();
+  for (size_t i = 0; i < n; ++i) dst[i] = kCodes.t[src[i]];
+}
+
+// Advance to the next record; fills r->seq (encoded) and resets windowing.
+// Returns false when the file is exhausted.
+bool next_record(Reader* r) {
+  r->seq.clear();
+  r->win_start = 0;
+  if (r->done) return false;
+
+  if (r->fmt == 0) {
+    // detect format from the first non-empty line
+    for (;;) {
+      if (!read_line(r)) {
+        r->done = true;
+        return false;
+      }
+      if (r->line.empty()) continue;
+      if (r->line[0] == '>') {
+        r->fmt = 1;
+        break;
+      }
+      if (r->line[0] == '@') {
+        r->fmt = 2;
+        break;
+      }
+      r->err = "unrecognized FASTX format";
+      r->done = true;
+      return false;
+    }
+    if (r->fmt == 2) {
+      // FASTQ: the detected line is the first header; read its sequence
+      if (!read_line(r)) {
+        r->done = true;
+        return false;
+      }
+      encode_append(&r->seq, r->line);
+      read_line(r);  // '+'
+      read_line(r);  // qual
+      if (r->seq.empty()) return next_record(r);
+      r->have_seq = true;
+      return true;
+    }
+    // FASTA: fall through with header consumed
+  }
+
+  if (r->fmt == 1) {
+    // FASTA: concatenate lines until the next '>' header or EOF
+    for (;;) {
+      if (!read_line(r)) {
+        r->done = true;
+        break;
+      }
+      if (!r->line.empty() && r->line[0] == '>') break;
+      encode_append(&r->seq, r->line);
+    }
+    if (r->seq.empty()) {
+      if (r->done) return false;
+      return next_record(r);
+    }
+    r->have_seq = true;
+    return true;
+  }
+
+  // FASTQ steady state: header / seq / + / qual
+  if (!read_line(r)) {
+    r->done = true;
+    return false;
+  }
+  if (!read_line(r)) {
+    r->done = true;
+    return false;
+  }
+  encode_append(&r->seq, r->line);
+  read_line(r);
+  read_line(r);
+  if (r->seq.empty()) return next_record(r);
+  r->have_seq = true;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* pfx_open(const char* path) {
+  Reader* r = new Reader();
+  r->f = gzopen(path, "rb");
+  if (!r->f) {
+    delete r;
+    return nullptr;
+  }
+  gzbuffer(r->f, 1 << 20);
+  r->buf.resize(1 << 20);
+  return r;
+}
+
+// Fill rows [start_row, batch_reads) of `out` (shape [batch_reads, max_len],
+// caller pre-filled with the invalid code 4). Returns the total number of
+// filled rows; sets *eof = 1 when the file is exhausted. Returns -1 on a
+// format/IO error (message via pfx_error).
+long pfx_next_batch(void* h, uint8_t* out, long batch_reads, long max_len,
+                    long k, long start_row, int* eof) {
+  Reader* r = (Reader*)h;
+  *eof = 0;
+  long rows = start_row;
+  const long step = max_len - (k - 1);
+  if (step <= 0 || k <= 0) {
+    r->err = "max_len must be >= k";
+    return -1;
+  }
+  while (rows < batch_reads) {
+    if (!r->have_seq) {
+      if (!next_record(r)) {
+        if (!r->err.empty()) return -1;
+        *eof = 1;
+        return rows;
+      }
+    }
+    const long n = (long)r->seq.size();
+    // mirror the Python windowing: starts in range(0, max(n-k+1, 1), step),
+    // break when the remaining chunk is shorter than k
+    const long limit = n - k + 1 > 1 ? n - k + 1 : 1;
+    while (rows < batch_reads && (long)r->win_start < limit) {
+      long chunk = n - (long)r->win_start;
+      if (chunk > max_len) chunk = max_len;
+      if (chunk < k) break;
+      memcpy(out + (size_t)rows * max_len, r->seq.data() + r->win_start,
+             (size_t)chunk);
+      ++rows;
+      r->win_start += (size_t)step;
+    }
+    if ((long)r->win_start >= limit || n - (long)r->win_start < k) {
+      r->have_seq = false;
+    }
+  }
+  return rows;
+}
+
+const char* pfx_error(void* h) {
+  Reader* r = (Reader*)h;
+  return r->err.c_str();
+}
+
+void pfx_close(void* h) {
+  Reader* r = (Reader*)h;
+  if (r->f) gzclose(r->f);
+  delete r;
+}
+
+}  // extern "C"
