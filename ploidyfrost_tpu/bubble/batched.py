@@ -1,0 +1,306 @@
+"""Device-batched superbubble search (TPU engine for src/CDBG.cpp:1707-2823).
+
+The reference parallelizes superbubble extraction with N pthreads pulling
+unitigs off a shared iterator (findSuperBubble_multithread_ptr,
+src/CDBG.cpp:1707-1871) and serializes registration under a global mutex
+(setNoBubble_multithread_ptr, src/CDBG.cpp:847-1100). The TPU-native
+replacement exploits a structural fact of the algorithm:
+
+    extractSuperBubble's DFS (src/CDBG.cpp:2643-2823) reads ONLY the
+    graph adjacency — never the shared MyUnitig state. State is touched
+    exclusively at registration time.
+
+So the search phase is embarrassingly parallel over seeds: every
+(unitig, strand) with out-degree > 1 runs its bounded DFS simultaneously
+as one vmapped `lax.while_loop` over CSR successor arrays, with per-seed
+fixed-shape state (seen-set, strand map, explicit stack) living in
+device registers/VMEM. The host then *replays* the recorded outcomes in
+canonical seed order (unitig id asc, plus before minus — the reference's
+deterministic single-thread order, src/CDBG.cpp:178-252), skipping seeds
+whose entrance pointer was already claimed by an earlier registration.
+This is exactly equivalent to the sequential algorithm, because a seed's
+search result cannot depend on earlier registrations — only its
+*admission* can.
+
+Seeds whose region exceeds the fixed caps (seen-set > MAX_SEEN, stack >
+MAX_STACK, or step budget) are flagged and fall back to the exact host
+search (bubble/superbubble.py) — they are tangles that nearly always
+resolve to "no bubble" and are rare on real graphs.
+
+Per-seed device state (MAX_SEEN slots):
+    seen  int32  packed (idx<<1 | strand) handle at FIRST sighting — the
+                 vec_km_seen entry (src/CDBG.cpp:2680, 2717)
+    st    int32  0 = not in state_map, 2 = seen, 1 = visited
+    sm    int32  strand_map value (updated on pop and on first sighting,
+                 src/CDBG.cpp:2698-2699, 2719)
+    cyc   bool   member of cycle_set (src/CDBG.cpp:2704-2712, 2722-2736)
+    stack int32  explicit vertices_visit stack (may hold duplicates,
+                 matching the reference's std::stack behavior)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..graph.cdbg import CDBGraph, UnitigHandle
+from .superbubble import (
+    NULL,
+    BubbleState,
+    _register_bubble,
+    _set_no_bubble_all,
+    _set_no_bubble_cycle,
+    extract_superbubble,
+    list_bubbles,
+)
+
+MAX_SEEN = 32
+MAX_STACK = 48
+MAX_STEPS = 4 * MAX_STACK
+CHUNK = 1 << 14
+
+# outcome codes recorded per seed
+STAT_NONE = 0  # stack drained, no cycle: no state change at all
+STAT_STALL_CYCLE = 1  # stack drained with flag_cycle: cycle-set cleanup
+STAT_CYCLE_EXIT = 2  # closed but exit loops back to seed: setNoBubble cycle
+STAT_ABORT = 3  # closed with tip/cycle flag: setNoBubble all
+STAT_BUBBLE = 4  # closed clean: real bubble registration
+STAT_OVERFLOW = 5  # caps exceeded: host fallback
+
+
+@functools.lru_cache(maxsize=8)
+def _build_search(ms: int, mstk: int, max_steps: int):
+    """Compile the vmapped bounded-DFS search for given caps."""
+    import jax
+    import jax.numpy as jnp
+
+    MS, MSTK = ms, mstk
+
+    def search_one(seed, succ_node):
+        """One seed's extractSuperBubble search. seed: packed int32 node.
+
+        succ_node: [n, 2, 4] int32 packed successors (-1 = none).
+        """
+        seen0 = jnp.full((MS,), -1, jnp.int32).at[0].set(seed)
+        st0 = jnp.zeros((MS,), jnp.int32)
+        sm0 = jnp.zeros((MS,), jnp.int32)
+        cyc0 = jnp.zeros((MS,), bool)
+        stack0 = jnp.zeros((MSTK,), jnp.int32).at[0].set(seed)
+        iota = jnp.arange(MS, dtype=jnp.int32)
+
+        def find_slot(seen, idx):
+            hit = (seen >> 1) == idx
+            return jnp.where(jnp.any(hit), jnp.argmax(hit).astype(jnp.int32), -1)
+
+        def cond(c):
+            (_, _, _, _, _, sp, _, _, _, ovf, done, _, _, steps) = c
+            return (sp > 0) & ~done & ~ovf & (steps < max_steps)
+
+        def body(c):
+            (seen, st, sm, cyc, stack, sp, nseen, fcyc, ftip, ovf, done,
+             status, psec, steps) = c
+            # -- pop v, mark visited, refresh strand_map (CDBG.cpp:2697-2699)
+            sp = sp - 1
+            v = stack[sp]
+            vidx = v >> 1
+            slot_v = find_slot(seen, vidx)
+            st = st.at[slot_v].set(1)
+            sm = sm.at[slot_v].set(v & 1)
+            succs = succ_node[vidx, v & 1]
+            ftip = ftip | jnp.all(succs < 0)  # tip (CDBG.cpp:2701-2703)
+
+            def succ_body(b, carry):
+                seen, st, sm, cyc, stack, sp, nseen, fcyc, ovf = carry
+                u = succs[b]
+                valid = u >= 0
+                # successor is the seed itself: cycle (CDBG.cpp:2705-2712)
+                hit_seed = valid & (u == seed)
+                fcyc = fcyc | hit_seed
+                cyc = cyc.at[jnp.where(hit_seed, 0, MS)].set(True, mode="drop")
+                cyc = cyc.at[jnp.where(hit_seed, slot_v, MS)].set(
+                    True, mode="drop"
+                )
+                go = valid & ~hit_seed
+                uidx = u >> 1
+                ustr = u & 1
+                slot_u = find_slot(seen, uidx)
+                found = slot_u >= 0
+                su = st[jnp.maximum(slot_u, 0)]
+                visited = found & (su == 1)
+                # already-visited successor: cycle (CDBG.cpp:2730-2736)
+                dv = go & visited
+                fcyc = fcyc | dv
+                cyc = cyc.at[jnp.where(dv, slot_u, MS)].set(True, mode="drop")
+                cyc = cyc.at[jnp.where(dv, slot_v, MS)].set(True, mode="drop")
+                # not-yet-visited successor (CDBG.cpp:2714-2729)
+                doc = go & ~visited
+                app = doc & ~found
+                ovf = ovf | (app & (nseen >= MS))
+                wslot = jnp.where(app, jnp.minimum(nseen, MS - 1), MS)
+                # strand mismatch check BEFORE any overwrite (found case only)
+                mism = doc & found & (sm[jnp.maximum(slot_u, 0)] != ustr)
+                fcyc = fcyc | mism
+                cyc = cyc.at[jnp.where(mism, slot_u, MS)].set(True, mode="drop")
+                cyc = cyc.at[jnp.where(mism, slot_v, MS)].set(True, mode="drop")
+                seen = seen.at[wslot].set(u, mode="drop")
+                sm = sm.at[wslot].set(ustr, mode="drop")
+                slot_u = jnp.where(app, jnp.minimum(nseen, MS - 1), slot_u)
+                nseen = nseen + app.astype(jnp.int32)
+                st = st.at[jnp.where(doc, slot_u, MS)].set(2, mode="drop")
+                # all-predecessors-visited gate (CDBG.cpp:2740-2759)
+                allv = doc
+                preds = succ_node[uidx, 1 - ustr]
+                for pb in range(4):
+                    p = preds[pb]
+                    pv = p >= 0
+                    pred = p ^ 1  # twin-successor -> predecessor handle
+                    slot_p = find_slot(seen, pred >> 1)
+                    pfound = slot_p >= 0
+                    sp_st = st[jnp.maximum(slot_p, 0)]
+                    pin = pfound & (sp_st != 0)  # "in state_map"
+                    act = doc & pv
+                    allv = allv & (~act | (pin & (sp_st == 1)))
+                    pmism = act & pin & (sm[jnp.maximum(slot_p, 0)] != (pred & 1))
+                    fcyc = fcyc | pmism
+                    cyc = cyc.at[jnp.where(pmism, slot_u, MS)].set(
+                        True, mode="drop"
+                    )
+                    cyc = cyc.at[jnp.where(pmism, slot_p, MS)].set(
+                        True, mode="drop"
+                    )
+                push = doc & allv
+                ovf = ovf | (push & (sp >= MSTK))
+                stack = stack.at[jnp.where(push, jnp.minimum(sp, MSTK - 1), MSTK)
+                                 ].set(u, mode="drop")
+                sp = sp + push.astype(jnp.int32)
+                return (seen, st, sm, cyc, stack, sp, nseen, fcyc, ovf)
+
+            (seen, st, sm, cyc, stack, sp, nseen, fcyc, ovf) = jax.lax.fori_loop(
+                0, 4, succ_body,
+                (seen, st, sm, cyc, stack, sp, nseen, fcyc, ovf),
+            )
+
+            # -- closing check (CDBG.cpp:2763-2778)
+            top = stack[0]
+            others = (st == 2) & (seen != top) & (iota < nseen)
+            close = (sp == 1) & ~jnp.any(others) & ~ovf
+            exit_succs = succ_node[top >> 1, top & 1]
+            cyc_exit = jnp.any(exit_succs == seed)
+            stat = jnp.where(
+                cyc_exit,
+                STAT_CYCLE_EXIT,
+                jnp.where(fcyc | ftip, STAT_ABORT, STAT_BUBBLE),
+            )
+            status = jnp.where(close, stat, status)
+            psec = jnp.where(close, top, psec)
+            done = done | close
+            return (seen, st, sm, cyc, stack, sp, nseen, fcyc, ftip, ovf,
+                    done, status, psec, steps + 1)
+
+        init = (seen0, st0, sm0, cyc0, stack0, jnp.int32(1), jnp.int32(1),
+                jnp.array(False), jnp.array(False), jnp.array(False),
+                jnp.array(False), jnp.int32(STAT_NONE), jnp.int32(-1),
+                jnp.int32(0))
+        (seen, st, sm, cyc, stack, sp, nseen, fcyc, ftip, ovf, done,
+         status, psec, steps) = jax.lax.while_loop(cond, body, init)
+        # stack drained without closing: STAT_NONE / STAT_STALL_CYCLE
+        # (CDBG.cpp:2813-2822); caps exceeded: host fallback
+        ovf = ovf | (~done & (sp > 0))
+        status = jnp.where(
+            ovf,
+            STAT_OVERFLOW,
+            jnp.where(done, status,
+                      jnp.where(fcyc, STAT_STALL_CYCLE, STAT_NONE)),
+        )
+        return status, psec, nseen, seen, cyc
+
+    batched = jax.vmap(search_one, in_axes=(0, None))
+    return jax.jit(batched)
+
+
+def search_seeds(g: CDBGraph, seeds: np.ndarray):
+    """Run the device search for every packed seed. Returns host numpy
+    (status, psec, nseen, seen[MS], cyc[MS]) arrays in seed order."""
+    import jax.numpy as jnp
+
+    succ_node = jnp.asarray(
+        np.ascontiguousarray(g._succ, dtype=np.int64).astype(np.int32)
+    )
+    fn = _build_search(MAX_SEEN, MAX_STACK, MAX_STEPS)
+    outs = []
+    for off in range(0, len(seeds), CHUNK):
+        chunk = seeds[off : off + CHUNK]
+        pad = 0
+        if len(chunk) < CHUNK and len(seeds) > CHUNK:
+            pad = CHUNK - len(chunk)
+            chunk = np.concatenate([chunk, np.full(pad, chunk[-1], np.int32)])
+        res = fn(jnp.asarray(chunk, dtype=jnp.int32), succ_node)
+        res = [np.asarray(r) for r in res]
+        if pad:
+            res = [r[: len(r) - pad] for r in res]
+        outs.append(res)
+    return [np.concatenate([o[i] for o in outs]) for i in range(5)]
+
+
+def find_superbubbles_device(
+    g: CDBGraph, complex_size: int = 8, colors=None
+) -> tuple[BubbleState, list]:
+    """Drop-in replacement for superbubble.find_superbubbles: device
+    search + host replay. Byte-identical outputs (tests/test_batched.py
+    cross-validates against the sequential path on random graphs)."""
+    n = len(g)
+    state = BubbleState(n)
+    # seeds in canonical order: unitig id asc, plus before minus
+    # (src/CDBG.cpp:178-252)
+    deg = np.asarray(g._out_deg)  # [n, 2], columns (minus, plus)
+    plus_b = deg[:, 1] > 1
+    minus_b = deg[:, 0] > 1
+    idx = np.arange(n, dtype=np.int32)
+    seed_list = np.empty(int(plus_b.sum() + minus_b.sum()), dtype=np.int32)
+    # interleave in (i, plus), (i, minus) order
+    order = np.lexsort((1 - np.concatenate([np.ones(plus_b.sum(), np.int8),
+                                            np.zeros(minus_b.sum(), np.int8)]),
+                        np.concatenate([idx[plus_b], idx[minus_b]])))
+    packed = np.concatenate([idx[plus_b] * 2 + 1, idx[minus_b] * 2])
+    seed_list = packed[order].astype(np.int32)
+    if len(seed_list) == 0:
+        return state, []
+
+    status, psec, nseen, seen, cyc = search_seeds(g, seed_list)
+
+    # ---- host replay in seed order ------------------------------------
+    for si in range(len(seed_list)):
+        s_packed = int(seed_list[si])
+        i, strand = s_packed >> 1, bool(s_packed & 1)
+        if state.get_ptr(i, strand) != NULL:
+            continue  # claimed by an earlier registration
+        stt = int(status[si])
+        if stt == STAT_NONE:
+            continue
+        sh = UnitigHandle(g, i, strand)
+        if stt == STAT_OVERFLOW:
+            extract_superbubble(g, state, sh, complex_size, colors)
+            continue
+        ns = int(nseen[si])
+        if stt == STAT_STALL_CYCLE:
+            # cycle-set cleanup (src/CDBG.cpp:2813-2822)
+            for slot in range(ns):
+                if cyc[si, slot]:
+                    state.detach_and_self(int(seen[si, slot]) >> 1)
+                    state.set_non_super(int(seen[si, slot]) >> 1)
+            state.set_self(i, strand)
+            continue
+        vec = [
+            UnitigHandle(g, int(p) >> 1, bool(p & 1))
+            for p in seen[si, :ns]
+        ]
+        ph = UnitigHandle(g, int(psec[si]) >> 1, bool(int(psec[si]) & 1))
+        if stt == STAT_CYCLE_EXIT:
+            _set_no_bubble_cycle(state, vec, sh, ph)
+        elif stt == STAT_ABORT:
+            _set_no_bubble_all(state, vec, sh, ph)
+        else:  # STAT_BUBBLE
+            _register_bubble(g, state, vec, sh, ph, complex_size, colors)
+
+    return state, list_bubbles(state, n, colors)

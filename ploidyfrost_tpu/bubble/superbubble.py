@@ -411,13 +411,21 @@ def find_superbubbles(
     """findSuperBubble over the whole graph (src/CDBG.cpp:178-252):
     seeds in iteration order, then a deterministic listing pass assigning
     ids 1..N in unitig order (plus strand before minus). With `colors`,
-    registration applies the CCDBG color gates (src/CCDBG.cpp:2531-2621)."""
+    registration applies the CCDBG color gates (src/CCDBG.cpp:2531-2621).
+
+    This is the sequential host reference path; the production engine is
+    bubble/batched.py's find_superbubbles_device (identical outputs,
+    device-parallel search)."""
     state = BubbleState(len(g))
     for i in range(len(g)):
         if g.out_degree(i, True) > 1 and state.get_ptr(i, True) == NULL:
             extract_superbubble(g, state, g.handle(i, True), complex_size, colors)
         if g.out_degree(i, False) > 1 and state.get_ptr(i, False) == NULL:
             extract_superbubble(g, state, g.handle(i, False), complex_size, colors)
+    return state, list_bubbles(state, len(g), colors)
+
+
+def list_bubbles(state: BubbleState, n: int, colors=None) -> list[Bubble]:
     # listing pass mirrors the reference exactly — and the uncolored and
     # colored references genuinely differ here:
     #   CDBG (uncolored) lists by the visited BITS per side
@@ -429,14 +437,18 @@ def find_superbubbles(
     #      src/CCDBG.cpp:2106-2133).
     bubbles = []
     nb = 0
-    for i in range(len(g)):
-        if state.is_both_visited(i):
-            continue
-        if (
-            int(state.plus[i]) != NULL
-            if colors is not None
-            else not state.is_plus_visited(i)
-        ):
+    # vectorized candidate scan (the per-unitig Python loop is O(n) with
+    # attribute lookups; at 10^6+ unitigs that dominates listing)
+    both_visited = (state.flags & 0x03) == 0
+    if colors is not None:
+        plus_cand = (state.plus != NULL) & ~both_visited
+        minus_cand = (state.minus != NULL) & ~both_visited
+    else:
+        plus_cand = ((state.flags & 0x01) != 0) & ~both_visited
+        minus_cand = ((state.flags & 0x02) != 0) & ~both_visited
+    for i in np.flatnonzero(plus_cand | minus_cand):
+        i = int(i)
+        if plus_cand[i]:
             nb += 1
             bubbles.append(
                 Bubble(
@@ -448,11 +460,7 @@ def find_superbubbles(
                     state.is_complex(i, True),
                 )
             )
-        if (
-            int(state.minus[i]) != NULL
-            if colors is not None
-            else not state.is_minus_visited(i)
-        ):
+        if minus_cand[i]:
             nb += 1
             bubbles.append(
                 Bubble(
@@ -464,7 +472,7 @@ def find_superbubbles(
                     state.is_complex(i, False),
                 )
             )
-    return state, bubbles
+    return bubbles
 
 
 def write_superbubble_file(

@@ -154,7 +154,8 @@ def run_colored_analysis(opt) -> int:
     """The colored main run (src/Main.cpp:777-813): ColoredCDBG read,
     per-color KMC database open, setUnitigId, findSuperBubble,
     colored ploidyEstimation."""
-    from .bubble.superbubble import find_superbubbles, write_superbubble_file
+    from .bubble.batched import find_superbubbles_device as find_superbubbles
+    from .bubble.superbubble import write_superbubble_file
     from .graph.cdbg import CDBGraph
     from .sites.emit_colored import (
         analyze_bubbles_colored,
@@ -233,7 +234,8 @@ def run_colored_analysis(opt) -> int:
 def run_analysis(opt) -> int:
     """The reference main run (src/Main.cpp:764-853): graph load,
     setUnitigId, findSuperBubble, ploidyEstimation."""
-    from .bubble.superbubble import find_superbubbles, write_superbubble_file
+    from .bubble.batched import find_superbubbles_device as find_superbubbles
+    from .bubble.superbubble import write_superbubble_file
     from .graph.cdbg import CDBGraph
     from .sites.emit import analyze_bubbles, write_outputs
 
