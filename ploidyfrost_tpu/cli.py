@@ -315,6 +315,13 @@ def cmd_run(argv) -> int:
     if opt.complex_size < 4:
         print("Error: Maximum number of unitigs in superbubble is at least 4 !", file=sys.stderr)
         return 1
+    if opt.nb_threads > 1:
+        # pthread data parallelism (src/CDBG.cpp:1726-1777) is replaced by
+        # device batching here; the flag stays for CLI compatibility
+        print(
+            f"note: -t {opt.nb_threads} accepted for compatibility; "
+            "the analysis phase is device-batched, not host-threaded"
+        )
     if opt.colorfile:
         parse_coverage_vec(opt)
         return run_colored_analysis(opt)

@@ -5,6 +5,16 @@ host side streams sequences and packs them into padded [B, L] uint8 code
 arrays (0..3 = ACGT, 4 = N/padding) that feed the device k-mer pipeline
 with static shapes. Reads longer than the batch width are split into
 overlapping segments (k-1 overlap) so no k-mer is lost at a seam.
+
+Two implementations with identical semantics:
+
+  * ``read_batches_py`` — pure Python (always available; the test oracle);
+  * the native C++ loader (native/fastx_reader.cpp, ctypes-bound via
+    native/__init__.py) — used transparently by ``read_batches`` when it
+    builds/loads, because gzip + per-line Python loops are the ingest
+    bottleneck once counting itself runs at device speed.
+
+``tests/test_native.py`` asserts byte-identical batches between the two.
 """
 
 from __future__ import annotations
@@ -63,6 +73,26 @@ def iter_sequences(path: str) -> Iterator[bytes]:
             raise ValueError(f"unrecognized FASTX format in {path}")
 
 
+def iter_sequences_with_qual(path: str) -> Iterator[tuple[bytes, bytes | None]]:
+    """Yield (sequence, quality-or-None) — the quality line feeds the
+    optional trimming stage (Trimmomatic's role, script/pipeline/1.trim)."""
+    with _open(path) as f:
+        first = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if first == b"@":
+            while True:
+                hdr = f.readline()
+                if not hdr:
+                    break
+                seq = f.readline().rstrip()
+                f.readline()  # +
+                qual = f.readline().rstrip()
+                if seq:
+                    yield seq, qual
+            return
+    for seq in iter_sequences(path):
+        yield seq, None
+
+
 def _iter_from(f, firstline: bytes) -> Iterator[bytes]:
     if firstline.startswith(b">"):
         seq_parts: list[bytes] = []
@@ -80,13 +110,14 @@ def _iter_from(f, firstline: bytes) -> Iterator[bytes]:
         raise ValueError("unsupported stream")
 
 
-def read_batches(
+def read_batches_py(
     paths: list[str] | str,
     k: int,
     batch_reads: int = 4096,
     max_len: int = 512,
 ) -> Iterator[np.ndarray]:
-    """Yield [batch_reads, max_len] uint8 code batches from FASTX files.
+    """Pure-Python batcher: yield [batch_reads, max_len] uint8 code
+    batches from FASTX files.
 
     Sequences longer than max_len are tiled into windows overlapping by
     k-1 bases. Padding uses INVALID_BASE so padded windows produce no
@@ -113,3 +144,67 @@ def read_batches(
                     row = 0
     if row:
         yield buf
+
+
+def read_batches_native(
+    paths: list[str] | str,
+    k: int,
+    batch_reads: int = 4096,
+    max_len: int = 512,
+) -> Iterator[np.ndarray]:
+    """Native C++ batcher (fastx_reader.cpp). Raises RuntimeError if the
+    library is unavailable — use read_batches for automatic fallback."""
+    import ctypes
+
+    from ..native import load_library
+
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native fastx reader unavailable")
+    if isinstance(paths, str):
+        paths = [paths]
+    row = 0
+    buf = np.empty((batch_reads, max_len), dtype=np.uint8)
+    u8p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    eof = ctypes.c_int(0)
+    for path in paths:
+        h = lib.pfx_open(path.encode())
+        if not h:
+            raise FileNotFoundError(path)
+        try:
+            while True:
+                rows = lib.pfx_next_batch(
+                    h, u8p, batch_reads, max_len, k, row, ctypes.byref(eof)
+                )
+                if rows < 0:
+                    raise IOError(
+                        f"{path}: {lib.pfx_error(h).decode(errors='replace')}"
+                    )
+                row = int(rows)
+                if row == batch_reads:
+                    yield buf
+                    buf = np.empty((batch_reads, max_len), dtype=np.uint8)
+                    u8p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                    row = 0
+                if eof.value:
+                    break
+        finally:
+            lib.pfx_close(h)
+    if row:
+        yield buf
+
+
+def read_batches(
+    paths: list[str] | str,
+    k: int,
+    batch_reads: int = 4096,
+    max_len: int = 512,
+) -> Iterator[np.ndarray]:
+    """Yield [batch_reads, max_len] uint8 code batches from FASTX files,
+    using the native loader when it is available (identical output)."""
+    from ..native import load_library
+
+    if load_library() is not None:
+        yield from read_batches_native(paths, k, batch_reads, max_len)
+    else:
+        yield from read_batches_py(paths, k, batch_reads, max_len)

@@ -1,0 +1,86 @@
+"""Build + load the native FASTX batch loader (ctypes C ABI).
+
+The shared library is compiled on first use with the system toolchain
+(g++ -O2 -shared -fPIC, linked against zlib) into this package's
+``_build`` directory and cached across runs (rebuilt when the source is
+newer than the binary). Loading is best-effort: any build or load
+failure degrades to the pure-Python reader in io/fastx.py — the native
+path is a throughput optimization, never a correctness dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_SRC = os.path.join(os.path.dirname(__file__), "fastx_reader.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
+_LIB = os.path.join(_BUILD_DIR, "libpfxreader.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O2",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _LIB + ".tmp",
+        _SRC,
+        "-lz",
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+    except (OSError, subprocess.SubprocessError):
+        return False
+    os.replace(_LIB + ".tmp", _LIB)
+    return True
+
+
+def load_library():
+    """Return the loaded ctypes library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("PLOIDYFROST_NO_NATIVE"):
+            return None
+        try:
+            need_build = not os.path.exists(_LIB) or (
+                os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+            )
+            if need_build and not _build():
+                return None
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.pfx_open.argtypes = [ctypes.c_char_p]
+        lib.pfx_open.restype = ctypes.c_void_p
+        lib.pfx_next_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.pfx_next_batch.restype = ctypes.c_long
+        lib.pfx_error.argtypes = [ctypes.c_void_p]
+        lib.pfx_error.restype = ctypes.c_char_p
+        lib.pfx_close.argtypes = [ctypes.c_void_p]
+        lib.pfx_close.restype = None
+        _lib = lib
+        return _lib

@@ -9,10 +9,19 @@
 // overlapping by k-1 bases so no k-mer is lost at a seam; windows shorter
 // than k are dropped (they contain no k-mer).
 //
-// Exposed as a plain C ABI for ctypes binding (no pybind11 in this image).
-// Semantics are kept identical to the pure-Python fallback in
+// Exposed as a plain C ABI for ctypes binding (ploidyfrost_tpu/native/
+// __init__.py compiles + loads this; no pybind11 in this image). Semantics
+// are kept identical to the pure-Python fallback
 // ploidyfrost_tpu/io/fastx.py::read_batches_py, which doubles as the test
 // oracle (tests/test_native.py).
+//
+// Contract notes:
+//  * pfx_next_batch fills the tail of every row it writes (and every row
+//    past the returned count) with the invalid code 4 itself, so a binding
+//    that reuses one buffer across batches can never leak stale bases from
+//    longer prior rows into shorter rows.
+//  * a gzread error mid-file fails the CURRENT record (pfx_next_batch
+//    returns -1) instead of silently emitting the truncated sequence.
 
 #include <zlib.h>
 
@@ -62,10 +71,12 @@ bool fill(Reader* r) {
   int n = gzread(r->f, r->buf.data(), (unsigned)r->buf.size());
   if (n <= 0) {
     r->in_eof = true;
-    if (n < 0) {
-      int zerr = 0;
-      const char* msg = gzerror(r->f, &zerr);
-      r->err = msg ? msg : "gzread error";
+    // a TRUNCATED gz stream surfaces as n == 0 with Z_BUF_ERROR (not a
+    // negative return) — check gzerror on every short read
+    int zerr = 0;
+    const char* msg = gzerror(r->f, &zerr);
+    if (n < 0 || (zerr != Z_OK && zerr != Z_STREAM_END)) {
+      r->err = msg && *msg ? msg : "gzread error";
     }
     return false;
   }
@@ -75,7 +86,8 @@ bool fill(Reader* r) {
 }
 
 // Read one line (without trailing \n / \r) into r->line. Returns false at EOF
-// with an empty line.
+// with an empty line. A gz error surfaces via r->err (checked by callers
+// before the assembled record is used).
 bool read_line(Reader* r) {
   r->line.clear();
   for (;;) {
@@ -110,81 +122,97 @@ void encode_append(std::vector<uint8_t>* out, const std::vector<uint8_t>& in) {
 }
 
 // Advance to the next record; fills r->seq (encoded) and resets windowing.
-// Returns false when the file is exhausted.
+// Returns false when the file is exhausted or an IO error was hit (r->err).
+// Empty-sequence records are skipped ITERATIVELY (a file of millions of
+// bare '>hdr' lines must not grow the stack).
 bool next_record(Reader* r) {
-  r->seq.clear();
-  r->win_start = 0;
-  if (r->done) return false;
+  for (;;) {
+    r->seq.clear();
+    r->win_start = 0;
+    if (r->done) return false;
 
-  if (r->fmt == 0) {
-    // detect format from the first non-empty line
-    for (;;) {
-      if (!read_line(r)) {
+    if (r->fmt == 0) {
+      // detect format from the first non-empty line
+      for (;;) {
+        if (!read_line(r)) {
+          r->done = true;
+          return false;
+        }
+        if (r->line.empty()) continue;
+        if (r->line[0] == '>') {
+          r->fmt = 1;
+          break;
+        }
+        if (r->line[0] == '@') {
+          r->fmt = 2;
+          break;
+        }
+        r->err = "unrecognized FASTX format";
         r->done = true;
         return false;
       }
-      if (r->line.empty()) continue;
-      if (r->line[0] == '>') {
-        r->fmt = 1;
-        break;
+      if (r->fmt == 2) {
+        // FASTQ: the detected line is the first header; read its sequence
+        if (!read_line(r)) {
+          r->done = true;
+          return false;
+        }
+        encode_append(&r->seq, r->line);
+        read_line(r);  // '+'
+        read_line(r);  // qual
+        if (!r->err.empty()) {  // fail the truncated record, not the next one
+          r->done = true;
+          return false;
+        }
+        if (r->seq.empty()) continue;
+        r->have_seq = true;
+        return true;
       }
-      if (r->line[0] == '@') {
-        r->fmt = 2;
-        break;
-      }
-      r->err = "unrecognized FASTX format";
-      r->done = true;
-      return false;
+      // FASTA: fall through with header consumed
     }
-    if (r->fmt == 2) {
-      // FASTQ: the detected line is the first header; read its sequence
-      if (!read_line(r)) {
+
+    if (r->fmt == 1) {
+      // FASTA: concatenate lines until the next '>' header or EOF
+      for (;;) {
+        if (!read_line(r)) {
+          r->done = true;
+          break;
+        }
+        if (!r->line.empty() && r->line[0] == '>') break;
+        encode_append(&r->seq, r->line);
+      }
+      if (!r->err.empty()) {
         r->done = true;
         return false;
       }
-      encode_append(&r->seq, r->line);
-      read_line(r);  // '+'
-      read_line(r);  // qual
-      if (r->seq.empty()) return next_record(r);
+      if (r->seq.empty()) {
+        if (r->done) return false;
+        continue;
+      }
       r->have_seq = true;
       return true;
     }
-    // FASTA: fall through with header consumed
-  }
 
-  if (r->fmt == 1) {
-    // FASTA: concatenate lines until the next '>' header or EOF
-    for (;;) {
-      if (!read_line(r)) {
-        r->done = true;
-        break;
-      }
-      if (!r->line.empty() && r->line[0] == '>') break;
-      encode_append(&r->seq, r->line);
+    // FASTQ steady state: header / seq / + / qual
+    if (!read_line(r)) {
+      r->done = true;
+      return false;
     }
-    if (r->seq.empty()) {
-      if (r->done) return false;
-      return next_record(r);
+    if (!read_line(r)) {
+      r->done = true;
+      return false;
     }
+    encode_append(&r->seq, r->line);
+    read_line(r);
+    read_line(r);
+    if (!r->err.empty()) {
+      r->done = true;
+      return false;
+    }
+    if (r->seq.empty()) continue;
     r->have_seq = true;
     return true;
   }
-
-  // FASTQ steady state: header / seq / + / qual
-  if (!read_line(r)) {
-    r->done = true;
-    return false;
-  }
-  if (!read_line(r)) {
-    r->done = true;
-    return false;
-  }
-  encode_append(&r->seq, r->line);
-  read_line(r);
-  read_line(r);
-  if (r->seq.empty()) return next_record(r);
-  r->have_seq = true;
-  return true;
 }
 
 }  // namespace
@@ -203,8 +231,10 @@ void* pfx_open(const char* path) {
   return r;
 }
 
-// Fill rows [start_row, batch_reads) of `out` (shape [batch_reads, max_len],
-// caller pre-filled with the invalid code 4). Returns the total number of
+// Fill rows [start_row, batch_reads) of `out` (shape [batch_reads, max_len]).
+// Every row written has its tail (and every row at index >= the returned
+// count has its entirety) set to the invalid code 4 by this function — the
+// caller does NOT need to pre-fill the buffer. Returns the total number of
 // filled rows; sets *eof = 1 when the file is exhausted. Returns -1 on a
 // format/IO error (message via pfx_error).
 long pfx_next_batch(void* h, uint8_t* out, long batch_reads, long max_len,
@@ -222,6 +252,9 @@ long pfx_next_batch(void* h, uint8_t* out, long batch_reads, long max_len,
       if (!next_record(r)) {
         if (!r->err.empty()) return -1;
         *eof = 1;
+        // invalidate every unwritten row so stale data never leaks
+        memset(out + (size_t)rows * max_len, kInvalid,
+               (size_t)(batch_reads - rows) * (size_t)max_len);
         return rows;
       }
     }
@@ -233,8 +266,10 @@ long pfx_next_batch(void* h, uint8_t* out, long batch_reads, long max_len,
       long chunk = n - (long)r->win_start;
       if (chunk > max_len) chunk = max_len;
       if (chunk < k) break;
-      memcpy(out + (size_t)rows * max_len, r->seq.data() + r->win_start,
-             (size_t)chunk);
+      uint8_t* row = out + (size_t)rows * max_len;
+      memcpy(row, r->seq.data() + r->win_start, (size_t)chunk);
+      if (chunk < max_len)
+        memset(row + chunk, kInvalid, (size_t)(max_len - chunk));
       ++rows;
       r->win_start += (size_t)step;
     }
