@@ -20,16 +20,19 @@ Semantics matched to Bifrost for output parity:
     reverse of the succ(u,!s) enumeration (b prepended == comp(b)
     appended on the twin).
 
-Adjacency is precomputed into dense arrays (2 strands x 4 bases per
-unitig) — the CSR form consumed by the batched bubble search and by the
-device coverage gathers. No hash walks at query time.
+Storage is the 2-bit packed SeqStore (graph/seqstore.py — the
+CompressedSequence analog); adjacency is built with VECTORIZED probes
+(head/tail k-mers + sorted-table searchsorted, no Python dict walks)
+into dense arrays (2 strands x 4 bases per unitig) — the CSR form
+consumed by the batched bubble search and the device coverage gathers.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..kmer.pack import encode_bases
+from ..kmer.pack import revcomp_np
+from .seqstore import SeqStore, SeqView
 
 _COMP = str.maketrans("ACGT", "TGCA")
 
@@ -76,12 +79,12 @@ class UnitigHandle:
     @property
     def size(self) -> int:
         """unitig length in bases (UnitigMap.size)."""
-        return len(self.g.seqs[self.idx])
+        return int(self.g.store.lengths[self.idx])
 
     @property
     def length(self) -> int:
         """number of k-mers (UnitigMap.len for a full mapping)."""
-        return len(self.g.seqs[self.idx]) - self.g.k + 1
+        return int(self.g.store.lengths[self.idx]) - self.g.k + 1
 
     def rev(self) -> "UnitigHandle":
         return UnitigHandle(self.g, self.idx, not self.strand)
@@ -97,21 +100,24 @@ class UnitigHandle:
 
 
 class CDBGraph:
-    """Unitig set + adjacency. Build from unitig strings (native
-    construction, graph/construct.py) or import a Bifrost GFA."""
+    """Unitig set + adjacency. Build from unitig strings / a SeqStore
+    (native construction, graph/construct.py) or import a Bifrost GFA."""
 
-    def __init__(self, seqs: list[str], k: int, g: int | None = None):
+    def __init__(self, seqs: list[str] | SeqStore, k: int, g: int | None = None):
         self.k = k
         self.g = g if g is not None else min(k - 2, 23)  # Bifrost default minimizer len
+        store = seqs if isinstance(seqs, SeqStore) else SeqStore.from_strings(seqs)
+        if len(store) and int(store.lengths.min()) < k:
+            bad = int(np.argmin(store.lengths))
+            raise ValueError(f"unitig shorter than k: {store.decode(bad)!r}")
         # Bifrost iteration order: long unitigs first, then k-length
-        # (UnitigIterator.tcc:33-58)
-        long_seqs = [s for s in seqs if len(s) > k]
-        km_seqs = [s for s in seqs if len(s) == k]
-        bad = [s for s in seqs if len(s) < k]
-        if bad:
-            raise ValueError(f"unitig shorter than k: {bad[0]!r}")
-        self.seqs: list[str] = long_seqs + km_seqs
-        self.n = len(self.seqs)
+        # (UnitigIterator.tcc:33-58); stable within each class
+        self._perm = np.argsort(store.lengths <= k, kind="stable")
+        if not np.array_equal(self._perm, np.arange(len(store))):
+            store = store.reorder(self._perm)
+        self.store = store
+        self.seqs = SeqView(store)
+        self.n = len(store)
         # ids assigned by setUnitigId (1-based, iteration order;
         # src/CDBG.cpp:121-143)
         self.ids = np.arange(1, self.n + 1, dtype=np.int64)
@@ -120,27 +126,46 @@ class CDBGraph:
     # -- adjacency -------------------------------------------------------
 
     def _build_adjacency(self):
+        """Vectorized: entry-kmer table (first k-mer of each orientation,
+        first-insertion-wins like Bifrost's hmap) + 8 batched searchsorted
+        probes for (k-1)-suffix + base."""
         k = self.k
-        # entry k-mer -> (unitig, strand): the k-mer at which a traversal
-        # enters the unitig in that orientation
-        entry: dict[str, tuple[int, bool]] = {}
-        for i, s in enumerate(self.seqs):
-            head = s[:k]
-            tail_rc = revcomp(s[-k:])
-            if head not in entry:
-                entry[head] = (i, True)
-            if tail_rc not in entry:
-                entry[tail_rc] = (i, False)
-        # succ[i, strand, base] = packed successor (idx*2 + strand) or -1
-        succ = np.full((self.n, 2, 4), -1, dtype=np.int64)
-        for i, s in enumerate(self.seqs):
-            for strand, oriented in ((True, s), (False, revcomp(s))):
-                suffix = oriented[-(k - 1) :]
-                for bi, b in enumerate("ACGT"):
-                    hit = entry.get(suffix + b)
-                    if hit is not None:
-                        j, st = hit
-                        succ[i, int(strand), bi] = j * 2 + int(st)
+        n = self.n
+        succ = np.full((n, 2, 4), -1, dtype=np.int64)
+        if n == 0:
+            self._succ = succ
+            self._out_deg = (succ >= 0).sum(axis=2)
+            return
+        head = self.store.head_kmers(k)  # first k bases, MSB-first packed
+        tail = self.store.tail_kmers(k)
+        tail_rc = revcomp_np(tail, k)
+        idx = np.arange(n, dtype=np.int64)
+        # entry k-mer -> packed (idx*2 + strand): the k-mer at which a
+        # traversal enters the unitig in that orientation. Insertion
+        # priority replicates the dict build order (head before tail_rc
+        # per unitig, unitigs ascending): first insert wins.
+        keys = np.concatenate([head, tail_rc])
+        vals = np.concatenate([idx * 2 + 1, idx * 2])
+        prio = np.concatenate([idx * 2, idx * 2 + 1])
+        order = np.lexsort((prio, keys))
+        keys_s = keys[order]
+        vals_s = vals[order]
+        first = np.ones(len(keys_s), dtype=bool)
+        first[1:] = keys_s[1:] != keys_s[:-1]
+        ekeys = keys_s[first]
+        evals = vals_s[first]
+
+        mask_k1 = np.uint64((1 << (2 * (k - 1))) - 1)
+        # (k-1)-suffix of the oriented sequence per strand
+        suf_plus = tail & mask_k1  # last k-1 bases of s
+        suf_minus = revcomp_np(head >> np.uint64(2), k - 1)  # of revcomp(s)
+        top = len(ekeys) - 1
+        for strand, suf in ((1, suf_plus), (0, suf_minus)):
+            for b in range(4):
+                q = (suf << np.uint64(2)) | np.uint64(b)
+                pos = np.minimum(np.searchsorted(ekeys, q), top)
+                hit = ekeys[pos] == q
+                succ[:, strand, b] = np.where(hit, evals[pos], -1)
         self._succ = succ
         self._out_deg = (succ >= 0).sum(axis=2)
 
@@ -176,10 +201,10 @@ class CDBGraph:
         return self.n
 
     def nb_kmers(self) -> int:
-        return sum(len(s) - self.k + 1 for s in self.seqs)
+        return int((self.store.lengths - self.k + 1).sum())
 
     def total_length(self) -> int:
-        return sum(len(s) for s in self.seqs)
+        return int(self.store.lengths.sum())
 
     # -- io -----------------------------------------------------------------
 
@@ -220,10 +245,7 @@ class CDBGraph:
         gr = cls(seqs, k, g)
         # re-associate DA tags with the reordered (long-first) seq order
         if any(d is not None for d in da_ids):
-            by_seq = {}
-            for s, d in zip(seqs, da_ids):
-                by_seq[s] = d
-            gr.da_ids = [by_seq.get(s) for s in gr.seqs]
+            gr.da_ids = [da_ids[p] for p in gr._perm]
         return gr
 
     def write_gfa(self, path: str, bfg_version: str = "1.0.6", da_ids=None):
@@ -235,7 +257,7 @@ class CDBGraph:
             f.write(
                 f"H\tVN:Z:1.0\tBV:Z:{bfg_version}\tKL:Z:{k}\tML:Z:{self.g}\n"
             )
-            for i, s in enumerate(self.seqs):
+            for i, s in enumerate(self.store.decode_all()):
                 da = f"\tDA:Z:{da_ids[i]}" if da_ids is not None else ""
                 f.write(f"S\t{i + 1}\t{s}\tLN:i:{len(s)}{da}\n")
             for i in range(self.n):
@@ -261,7 +283,7 @@ class CDBGraph:
 
         os.makedirs(outdir, exist_ok=True)
         with open(os.path.join(outdir, outpre + "_Unitig_Id.txt"), "w") as f:
-            for i, s in enumerate(self.seqs):
+            for i, s in enumerate(self.store.decode_all()):
                 f.write(f"{i + 1}\t{s}\n")
 
     def write_graph_info(self, outpre: str):

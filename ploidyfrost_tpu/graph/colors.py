@@ -28,15 +28,12 @@ from .cdbg import CDBGraph
 
 
 def _flat_canonical_kmers(g: CDBGraph):
-    """(offsets[n+1], canonical k-mer per global unitig position)."""
-    k = g.k
-    lens = np.array([len(s) - k + 1 for s in g.seqs], dtype=np.int64)
+    """(offsets[n+1], canonical k-mer per global unitig position) —
+    vectorized extraction from the packed SeqStore."""
+    flat, lens = g.store.all_kmers(g.k)
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    flat = np.empty(int(offs[-1]), dtype=np.uint64)
-    for i, s in enumerate(g.seqs):
-        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, k)
-    return offs, canonical_np(flat, k)
+    return offs, canonical_np(flat, g.k)
 
 
 class ColorMatrix:

@@ -189,63 +189,83 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
     starts = np.flatnonzero(chain_start)
     ends = np.append(starts[1:], len(order))
 
-    # decode chains -> unitig strings; drop twin duplicates
-    base_chars = np.array(list("ACGT"))
-    km_strs = None  # decoded lazily per chain head/tail need
-    seqs: list[str] = []
-    LAST = np.uint64(3)
-    for s, e in zip(starts, ends):
-        nodes = order[s:e]
-        head_n, tail_n = nodes[0], nodes[-1]
-        # twin chain's head is twin(tail); keep the lexicographically
-        # decisive copy: keep iff head <= twin(tail)
-        if head_n > (tail_n ^ 1):
-            continue
-        idxs = nodes >> 1
-        orients = nodes & 1
-        first = km[idxs[0]] if orients[0] == 0 else _revcomp_np(
-            km[idxs[0] : idxs[0] + 1], k
-        )[0]
-        first_s = decode_kmers([first], k)[0]
-        if len(nodes) == 1:
-            seqs.append(first_s)
-            continue
-        oriented = np.where(
-            orients == 0, km[idxs], _revcomp_np(km[idxs], k)
-        )
-        lasts = (oriented & LAST).astype(np.int64)
-        tail_chars = base_chars[lasts[1:]]
-        seqs.append(first_s + "".join(tail_chars))
-    # deterministic canonical form: store min(seq, revcomp) and sort
-    seqs = [min(s, revcomp(s)) for s in seqs]
-    seqs.sort()
-    return CDBGraph(seqs, k)
+    # ---- decode chains -> packed unitig codes, fully vectorized --------
+    # twin chain's head is twin(tail); keep the decisive copy:
+    # keep iff head <= twin(tail)
+    head_nodes = order[starts]
+    tail_nodes = order[ends - 1]
+    keep = head_nodes <= (tail_nodes ^ 1)
+    kstarts = starts[keep]
+    kends = ends[keep]
+    m = kends - kstarts  # nodes per kept chain
+    nc = len(kstarts)
+    if nc == 0:
+        return CDBGraph([], k)
+    lengths = k + m - 1  # unitig base length
+    off_b = np.zeros(nc + 1, dtype=np.int64)
+    np.cumsum(lengths, out=off_b[1:])
+    codes = np.empty(int(off_b[-1]), dtype=np.uint8)
+    # oriented value of every chain node (o==0: canonical form, o==1: rc)
+    onodes = order  # all nodes in chain order
+    oriented_all = np.where((onodes & 1) == 0, km[onodes >> 1], rc[onodes >> 1])
+    # first k-mer of each kept chain -> k leading codes (MSB-first)
+    firsts = oriented_all[kstarts]
+    for t in range(k):
+        codes[off_b[:-1] + t] = (
+            (firsts >> np.uint64(2 * (k - 1 - t))) & np.uint64(3)
+        ).astype(np.uint8)
+    # every subsequent node contributes its last base
+    if int(m.max()) > 1:
+        chain_of = np.repeat(np.arange(nc), m)
+        gpos = (
+            np.arange(int(m.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(m) - m, m)
+        )  # position within chain
+        # global chain-order index of each kept-chain node
+        src = np.repeat(kstarts, m) + gpos
+        non_first = gpos > 0
+        tgt = off_b[chain_of[non_first]] + k + gpos[non_first] - 1
+        codes[tgt] = (oriented_all[src[non_first]] & np.uint64(3)).astype(np.uint8)
+
+    # ---- canonical form: min(seq, revcomp) per unitig, vectorized ------
+    P = int(off_b[-1])
+    seg = np.repeat(np.arange(nc), lengths)
+    gstart = off_b[seg]
+    gend = off_b[seg + 1]
+    p = np.arange(P, dtype=np.int64)
+    rc_codes = (3 - codes[gstart + gend - 1 - p]).astype(np.uint8)
+    diff = codes != rc_codes
+    dpos = np.where(diff, p, P)
+    firstdiff = np.minimum.reduceat(dpos, off_b[:-1])
+    fd = np.minimum(firstdiff, P - 1)
+    take_rc = (firstdiff < P) & (rc_codes[fd] < codes[fd])
+    codes = np.where(take_rc[seg], rc_codes, codes)
+
+    from .seqstore import SeqStore
+
+    store = SeqStore.from_codes(codes, lengths)
+    # deterministic order: lexicographic over the decoded corpus
+    strs = store.decode_all()
+    perm = sorted(range(nc), key=strs.__getitem__)
+    return CDBGraph(store.reorder(np.array(perm, dtype=np.int64)), k)
 
 
 def simplify(g: CDBGraph, k: int) -> CDBGraph:
     """Bifrost `-i -d`: delete short isolated unitigs and clip short
-    tips (< 2k bases), then recompact (CompactedDBG.tcc:745-770)."""
-    drop = set()
-    for i in range(len(g)):
-        ln = len(g.seqs[i])
-        nb_fw = g.out_degree(i, True)
-        nb_bw = g.out_degree(i, False)
-        if ln < 2 * k:
-            if nb_fw == 0 and nb_bw == 0:
-                drop.add(i)  # isolated
-            elif nb_fw == 0 or nb_bw == 0:
-                drop.add(i)  # tip
-    if not drop:
+    tips (< 2k bases), then recompact (CompactedDBG.tcc:745-770).
+    Vectorized over the packed store (no per-unitig Python walks)."""
+    lens = g.store.lengths
+    deg_fw = g._out_deg[:, 1]
+    deg_bw = g._out_deg[:, 0]
+    drop = (lens < 2 * k) & ((deg_fw == 0) | (deg_bw == 0))
+    if not drop.any():
         return g
-    from ..kmer.pack import string_kmers_np
-
-    kept = [s for i, s in enumerate(g.seqs) if i not in drop]
-    kms = []
-    for s in kept:
-        kms.append(_canon_np(string_kmers_np(s, k), k))
-    if not kms:
+    flat, nk = g.store.all_kmers(k)
+    seg = np.repeat(np.arange(len(nk)), nk)
+    kept = flat[~drop[seg]]
+    if len(kept) == 0:
         return CDBGraph([], k)
-    allkm = np.unique(np.concatenate(kms))
+    allkm = np.unique(_canon_np(kept, k))
     return build_graph_from_kmers(allkm, k)
 
 

@@ -1,0 +1,209 @@
+"""2-bit packed, word-aligned unitig sequence storage.
+
+Replaces Bifrost's CompressedSequence (bifrost/src/CompressedSequence.hpp:
+1-197) role for the analysis graph: unitig sequences live as one flat
+uint64 array (32 bases/word, LSB-first within the word) plus per-unitig
+word offsets and base lengths — flat memory at genome scale instead of
+per-unitig Python str objects, and a layout the device k-mer pipeline
+can consume directly.
+
+Everything here is vectorized numpy (no per-base or per-unitig Python
+loops):
+
+  * ``from_strings``  — one table-lookup encode + one scatter + one
+    or-reduce pack for the whole corpus;
+  * ``all_kmers``     — every k-mer of every unitig in k shifted adds
+    over the unpacked corpus (the batched readCov(u) feed,
+    src/CDBG.cpp:66-120);
+  * ``head/tail_kmers`` — the adjacency-build probes;
+  * ``decode_all``    — one unpack + one bytes translation for output
+    writing (the only place strings are materialized in bulk).
+
+Strings remain available per unitig through ``decode`` for the host
+analysis paths (alignment, window extraction), which only ever touch
+the small subset of unitigs inside bubbles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kmer.pack import INVALID_BASE, encode_bases
+
+_BASES_U8 = np.frombuffer(b"ACGT", dtype=np.uint8)
+_SHIFTS = (2 * np.arange(32, dtype=np.uint64)).astype(np.uint64)
+
+
+class SeqStore:
+    """Packed sequence corpus: words[uint64], word offsets, base lengths."""
+
+    __slots__ = ("words", "off_w", "lengths", "_codes_cache")
+
+    def __init__(self, words: np.ndarray, off_w: np.ndarray, lengths: np.ndarray):
+        self.words = np.asarray(words, dtype=np.uint64)
+        self.off_w = np.asarray(off_w, dtype=np.int64)
+        self.lengths = np.asarray(lengths, dtype=np.int64)
+        self._codes_cache = None
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def from_codes(cls, codes: np.ndarray, lengths: np.ndarray) -> "SeqStore":
+        """codes: flat uint8 base codes (0..3), unitigs concatenated in
+        order with NO padding; lengths: base length per unitig."""
+        lengths = np.asarray(lengths, dtype=np.int64)
+        n = len(lengths)
+        nwords = (lengths + 31) // 32
+        off_w = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nwords, out=off_w[1:])
+        total_w = int(off_w[-1])
+        # scatter each base into its padded slot, then pack 32 per word
+        off_b = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=off_b[1:])
+        seg = np.repeat(np.arange(n), lengths)
+        pos_in = np.arange(off_b[-1], dtype=np.int64) - off_b[seg]
+        padded = np.zeros(total_w * 32, dtype=np.uint8)
+        padded[off_w[seg] * 32 + pos_in] = np.asarray(codes, dtype=np.uint8)
+        lanes = padded.reshape(total_w, 32).astype(np.uint64) << _SHIFTS
+        words = np.bitwise_or.reduce(lanes, axis=1)
+        return cls(words, off_w, lengths)
+
+    @classmethod
+    def from_strings(cls, seqs: list[str]) -> "SeqStore":
+        lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs))
+        blob = "".join(seqs).encode()
+        codes = encode_bases(np.frombuffer(blob, dtype=np.uint8))
+        if (codes >= INVALID_BASE).any():
+            bad = np.flatnonzero(codes >= INVALID_BASE)[0]
+            raise ValueError(f"invalid base {blob[bad:bad+1]!r} in sequences")
+        return cls.from_codes(codes, lengths)
+
+    # -- core views --------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.lengths)
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.lengths.sum())
+
+    def unpack(self) -> np.ndarray:
+        """Padded uint8 code array [n_words * 32]; pad lanes decode as 0
+        ('A') and are excluded by every consumer via length masks. Cached
+        (the adjacency build and coverage feed share it)."""
+        if self._codes_cache is None:
+            lanes = (self.words[:, None] >> _SHIFTS) & np.uint64(3)
+            self._codes_cache = lanes.astype(np.uint8).reshape(-1)
+        return self._codes_cache
+
+    def drop_cache(self):
+        self._codes_cache = None
+
+    # -- decoding ----------------------------------------------------------
+
+    def decode(self, i: int) -> str:
+        w0 = int(self.off_w[i])
+        ln = int(self.lengths[i])
+        lanes = (self.words[w0 : w0 + (ln + 31) // 32, None] >> _SHIFTS) & np.uint64(3)
+        codes = lanes.astype(np.uint8).reshape(-1)[:ln]
+        return _BASES_U8[codes].tobytes().decode()
+
+    def decode_all(self) -> list[str]:
+        """All sequences as strings: one unpack + one translation, then
+        per-unitig slicing of a single bytes object."""
+        padded = self.unpack()
+        blob = _BASES_U8[padded].tobytes()
+        out = []
+        for i in range(len(self.lengths)):
+            s = int(self.off_w[i]) * 32
+            out.append(blob[s : s + int(self.lengths[i])].decode())
+        return out
+
+    # -- k-mer extraction (vectorized) --------------------------------------
+
+    def _kmer_acc(self, k: int) -> np.ndarray:
+        """acc[p] = MSB-first packed k-mer starting at padded position p
+        (valid only where the window stays inside one unitig)."""
+        codes = self.unpack()
+        P = len(codes)
+        n_out = P - k + 1
+        acc = np.zeros(n_out, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc << np.uint64(2)) | codes[j : j + n_out].astype(np.uint64)
+        return acc
+
+    def kmer_start_mask(self, k: int) -> np.ndarray:
+        """Bool mask over padded positions: True where a k-mer window
+        starts inside a unitig (pos_in <= len - k)."""
+        P = int(self.off_w[-1]) * 32
+        delta = np.zeros(P + 1, dtype=np.int32)
+        starts = self.off_w[:-1] * 32
+        nk = self.lengths - k + 1
+        good = nk > 0
+        np.add.at(delta, starts[good], 1)
+        np.add.at(delta, starts[good] + nk[good], -1)
+        return np.cumsum(delta[:-1]) > 0
+
+    def all_kmers(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """(kmers, n_per_unitig): every forward-strand k-mer of every
+        unitig, concatenated in unitig order."""
+        acc = self._kmer_acc(k)
+        mask = self.kmer_start_mask(k)[: len(acc)]
+        nk = np.maximum(self.lengths - k + 1, 0)
+        return acc[mask], nk
+
+    def head_kmers(self, k: int) -> np.ndarray:
+        """First k-mer of each unitig (requires all lengths >= k)."""
+        acc = self._kmer_acc(k)
+        return acc[self.off_w[:-1] * 32]
+
+    def tail_kmers(self, k: int) -> np.ndarray:
+        acc = self._kmer_acc(k)
+        return acc[self.off_w[:-1] * 32 + self.lengths - k]
+
+    # -- reordering ----------------------------------------------------------
+
+    def reorder(self, perm: np.ndarray) -> "SeqStore":
+        """New store with unitigs permuted (gathers whole words)."""
+        perm = np.asarray(perm, dtype=np.int64)
+        nwords = (self.lengths[perm] + 31) // 32
+        off_w = np.zeros(len(perm) + 1, dtype=np.int64)
+        np.cumsum(nwords, out=off_w[1:])
+        total_w = int(off_w[-1])
+        # source word index for each destination word
+        seg = np.repeat(np.arange(len(perm)), nwords)
+        pos_in = np.arange(total_w, dtype=np.int64) - off_w[seg]
+        src = self.off_w[perm[seg]] + pos_in
+        return SeqStore(self.words[src], off_w, self.lengths[perm])
+
+
+class SeqView:
+    """List-of-strings facade over a SeqStore with a small decode cache —
+    keeps the host analysis code (which only touches bubble unitigs)
+    reading ``g.seqs[i]`` as before without materializing the corpus."""
+
+    __slots__ = ("store", "_cache", "_cap")
+
+    def __init__(self, store: SeqStore, cache_size: int = 8192):
+        self.store = store
+        self._cache: dict[int, str] = {}
+        self._cap = cache_size
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def __getitem__(self, i: int) -> str:
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        i = int(i)
+        s = self._cache.get(i)
+        if s is None:
+            s = self.store.decode(i)
+            if len(self._cache) >= self._cap:
+                self._cache.clear()
+            self._cache[i] = s
+        return s
+
+    def __iter__(self):
+        # bulk path: iteration = output writing; decode once, vectorized
+        return iter(self.store.decode_all())

@@ -48,16 +48,11 @@ def load_count_db(path: str, k: int):
 
 def unitig_coverage(db, g):
     """Batched readCov(u) for every unitig (src/CDBG.cpp:66-120): mean
-    and min k-mer count per unitig, resolved in one device gather."""
-    from .kmer.pack import string_kmers_np
+    and min k-mer count per unitig, resolved in one device gather.
 
-    lens = np.array([len(s) - g.k + 1 for s in g.seqs], dtype=np.int64)
-    offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    total = int(offs[-1])
-    flat = np.empty(total, dtype=np.uint64)
-    for i, s in enumerate(g.seqs):
-        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, g.k)
+    The k-mer feed comes straight from the packed SeqStore (vectorized
+    extraction, graph/seqstore.py) — no per-unitig string walks."""
+    flat, lens = g.store.all_kmers(g.k)
     counts, hit = db.lookup(flat)
     if not hit.all():
         from .kmer.pack import decode_kmers

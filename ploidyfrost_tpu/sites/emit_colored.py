@@ -114,15 +114,7 @@ def unitig_coverage_colored(dbs, g: CDBGraph, cutoffs):
     (src/CCDBG.cpp:123-156): per-color mean k-mer count and an
     all-k-mers-within-(low,up) validity flag. One device gather pass
     per color database."""
-    from ..kmer.pack import string_kmers_np
-
-    k = g.k
-    lens = np.array([len(s) - k + 1 for s in g.seqs], dtype=np.int64)
-    offs = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offs[1:])
-    flat = np.empty(int(offs[-1]), dtype=np.uint64)
-    for i, s in enumerate(g.seqs):
-        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, k)
+    flat, lens = g.store.all_kmers(g.k)
     seg = np.repeat(np.arange(len(lens)), lens)
     C = len(dbs)
     mean = np.zeros((len(lens), C), dtype=np.float64)
