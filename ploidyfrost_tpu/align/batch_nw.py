@@ -1,0 +1,238 @@
+"""Batched Needleman-Wunsch DP on device (the NW wavefront kernel).
+
+The reference computes one DP matrix per branch pair, inside the
+per-bubble loop (src/SeqAlign.cpp:480-549). Here ALL pairs of an
+analysis phase run as ONE device program per size tier: a `lax.scan`
+anti-diagonal wavefront over a [chunk, tier+1] skewed layout — each scan
+step computes one anti-diagonal of every pair simultaneously, so the
+sequential DP dependency runs exactly once while the batch dimension
+fills the VPU lanes.
+
+The kernel reproduces nw._nw_matrix's integer semantics bit-for-bit
+(same flag matrices consumed by the co-optimal traceback):
+  * +1 continuation bonus per direction (src/SeqAlign.cpp:512-525);
+  * forbidden Left move into a next-char-of-A '-' (:528-532);
+  * integer score cells (the C++ int truncation is exact when the
+    match/mismatch/gap parameters are integers — the only case this
+    kernel accepts; callers fall back to the host wavefront otherwise).
+
+Output layout: scan stacks one uint8 flag row per diagonal d, giving
+ys[d, lane, i] = flags of DP cell (i, d - i) with bit0=Up, bit1=LeftUp,
+bit2=Left. The host de-skews each pair's (m+1, n+1) window with one
+fancy gather. Cells outside a pair's valid region are garbage and never
+read (the DP recurrence only flows from lower (i, j), so in-region
+values are unaffected by padding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+DASH = 4  # '-' code; base codes 0..3; pad code 7 (never equals DASH)
+_PAD = 7
+_MIN_TIER = 16
+_MAX_TIER = 2048
+_CELL_BUDGET = 96 << 20  # device bytes for one chunk's stacked flags
+
+_ENC = np.full(256, 5, dtype=np.uint8)
+_ENC[ord("A")] = 0
+_ENC[ord("C")] = 1
+_ENC[ord("G")] = 2
+_ENC[ord("T")] = 3
+_ENC[ord("-")] = DASH
+
+
+def _tier_of(m: int, n: int) -> int:
+    t = _MIN_TIER
+    need = max(m, n)
+    while t < need:
+        t <<= 1
+    return t
+
+
+def _chunk_of(tier: int) -> int:
+    lane_bytes = 3 * (2 * tier + 1) * ((tier + 2 + 7) // 8)
+    ch = _CELL_BUDGET // lane_bytes
+    ch = 1 << max(int(ch).bit_length() - 1, 0)
+    return int(min(4096, max(8, ch)))
+
+
+@functools.lru_cache(maxsize=64)
+def _build_kernel(tier: int, chunk: int, match: int, dis: int, gap: int):
+    import jax
+    import jax.numpy as jnp
+
+    T, CH = tier, chunk
+    I32MIN = np.int32(-(2**31))
+    m_ = np.int32(match)
+    d_ = np.int32(dis)
+    g_ = np.int32(gap)
+    W8 = (T + 2 + 7) // 8  # bytes per bit-packed flag row (little-endian)
+
+    def kernel(a, b, a_len):
+        # a, b: [CH, T] uint8 codes (pad=_PAD); a_len: [CH, 1] int32
+        iota = jnp.arange(T + 1, dtype=jnp.int32)
+        pad_col = jnp.full((CH, 1), _PAD, jnp.uint8)
+        a_at = jnp.concatenate([pad_col, a], axis=1)  # a_at[:, i] = A[i-1]
+        a_next = jnp.concatenate([a, pad_col], axis=1)  # a_next[:, i] = A[i]
+
+        def shift(x, fill):
+            return jnp.concatenate(
+                [jnp.full((CH, 1), fill, x.dtype), x[:, :-1]], axis=1
+            )
+
+        bitw = jnp.asarray(
+            np.tile(np.array([1, 2, 4, 8, 16, 32, 64, 128], np.uint8), W8)[
+                : W8 * 8
+            ].reshape(W8, 8)
+        )
+
+        def pack_bits(x):
+            # [CH, T+1] bool -> [CH, W8] uint8, little-endian bit order
+            # (device-side packbits: 8x fewer bytes over the host link)
+            xp = jnp.pad(x, ((0, 0), (0, W8 * 8 - (T + 1))))
+            return (xp.reshape(CH, W8, 8).astype(jnp.uint8) * bitw).sum(
+                axis=2, dtype=jnp.uint8
+            )
+
+        def step(carry, d):
+            sc1, sc2, up1, lu1, lu2, lf1 = carry
+            jm1 = jnp.clip(d - 1 - iota, 0, T - 1)
+            bch = jnp.take(b, jm1, axis=1, mode="clip")  # [CH, T+1]
+            sub = jnp.where(
+                a_at == bch,
+                m_,
+                jnp.where((a_at == DASH) | (bch == DASH), g_, d_),
+            )
+            up = shift(sc1, 0) + g_ + shift(up1, False).astype(jnp.int32)
+            left = sc1 + g_ + lf1.astype(jnp.int32)
+            lu = shift(sc2, 0) + sub + shift(lu2, False).astype(jnp.int32)
+            mx = jnp.maximum(jnp.maximum(up, lu), left)
+            forbid = (mx == left) & (iota[None, :] != a_len) & (a_next == DASH)
+            left = jnp.where(forbid, I32MIN, left)
+            mx = jnp.where(forbid, jnp.maximum(up, lu), mx)
+            upf = up == mx
+            luf = lu == mx
+            lff = left == mx
+            # boundary rows: i == 0 -> (0, d); j == 0 (iota == d) -> (i, 0)
+            is_i0 = iota == 0
+            is_j0 = iota == d
+            sc = jnp.where(is_i0, g_ * d, jnp.where(is_j0, g_ * iota, mx))
+            nonzero = d > 0
+            upf = jnp.where(is_i0, False, jnp.where(is_j0, nonzero, upf))
+            lff = jnp.where(is_j0, False, jnp.where(is_i0, nonzero, lff))
+            luf = jnp.where(is_i0 | is_j0, False, luf)
+            flags = jnp.stack(
+                [pack_bits(upf), pack_bits(luf), pack_bits(lff)], axis=0
+            )  # [3, CH, W8]
+            return (sc, sc1, upf, luf, lu1, lff), flags
+
+        z32 = jnp.zeros((CH, T + 1), jnp.int32)
+        zb = jnp.zeros((CH, T + 1), bool)
+        init = (z32, z32, zb, zb, zb, zb)
+        _, ys = jax.lax.scan(
+            step, init, jnp.arange(2 * T + 1, dtype=jnp.int32)
+        )
+        # [2T+1, 3, CH, W8] -> [CH, 3, 2T+1, W8] so one contiguous
+        # per-lane slice reaches the host (transpose on device: the
+        # host link is the bottleneck, not the VPU)
+        return jnp.transpose(ys, (2, 1, 0, 3))
+
+    return jax.jit(kernel)
+
+
+def _encode(seqs: list[str], width: int) -> np.ndarray:
+    out = np.full((len(seqs), width), _PAD, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = _ENC[np.frombuffer(s.encode(), dtype=np.uint8)]
+    return out
+
+
+def nw_matrices_batched(
+    pairs: list[tuple[str, str]], match: float, dis_match: float, gap: float
+):
+    """Device-batched version of nw._nw_matrix over many pairs.
+
+    Returns a list of (Up, LeftUp, Left) uint8 matrices, identical to
+    running nw._nw_matrix(A, B, ...) per pair. Requires integer-valued
+    scoring parameters (the reference parses them with atoi,
+    src/Main.cpp:155-168); raises ValueError otherwise so callers can
+    fall back to the host wavefront.
+    """
+    for v in (match, dis_match, gap):
+        if not float(v).is_integer():
+            raise ValueError("batched NW requires integer scoring parameters")
+    import jax.numpy as jnp
+
+    from .nw import _nw_matrix
+
+    results: list = [None] * len(pairs)
+    by_tier: dict[int, list[int]] = {}
+    for idx, (A, B) in enumerate(pairs):
+        t = _tier_of(len(A), len(B))
+        if t > _MAX_TIER:
+            results[idx] = _nw_matrix(A, B, match, dis_match, gap)
+        else:
+            by_tier.setdefault(t, []).append(idx)
+
+    for tier, idxs in sorted(by_tier.items()):
+        CH = _chunk_of(tier)
+        kern = _build_kernel(tier, CH, int(match), int(dis_match), int(gap))
+        # de-skew gather grid for this tier: cell (i, j) lives at
+        # ys[i + j, lane, i]
+        ii = np.arange(tier + 1, dtype=np.int64)[:, None]
+        jj = np.arange(tier + 1, dtype=np.int64)[None, :]
+        dgrid = ii + jj
+        for off in range(0, len(idxs), CH):
+            batch = idxs[off : off + CH]
+            a_seqs = [pairs[i][0] for i in batch]
+            b_seqs = [pairs[i][1] for i in batch]
+            pad = CH - len(batch)
+            if pad:
+                a_seqs += ["A"] * pad
+                b_seqs += ["A"] * pad
+            a = jnp.asarray(_encode(a_seqs, tier))
+            b = jnp.asarray(_encode(b_seqs, tier))
+            alen = jnp.asarray(
+                np.array([[len(s)] for s in a_seqs], dtype=np.int32)
+            )
+            ys = np.asarray(kern(a, b, alen))  # [CH, 3, 2T+1, W8] packed
+            for lane, idx in enumerate(batch):
+                m = len(pairs[idx][0])
+                n = len(pairs[idx][1])
+                bits = np.unpackbits(
+                    ys[lane], axis=-1, bitorder="little"
+                )  # [3, 2T+1, W8*8]
+                dg = dgrid[: m + 1, : n + 1]
+                iw = ii[: m + 1]
+                results[idx] = (
+                    bits[0][dg, iw],
+                    bits[1][dg, iw],
+                    bits[2][dg, iw],
+                )
+    return results
+
+
+def needleman_wunsch_batch(
+    pairs: list[tuple[str, str]],
+    match: float = 2.0,
+    dis_match: float = -1.0,
+    gap: float = -3.0,
+):
+    """Batch counterpart of nw.needleman_wunsch: device DP matrices +
+    host co-optimal traceback per pair. Falls back to the pure-host path
+    for non-integer scoring parameters."""
+    from .nw import _nw_matrix, _traceback
+
+    try:
+        mats = nw_matrices_batched(pairs, match, dis_match, gap)
+    except ValueError:
+        mats = [
+            _nw_matrix(A, B, match, dis_match, gap) for A, B in pairs
+        ]
+    return [
+        _traceback(U, L2, L3, A, B, match, dis_match, gap)
+        for (U, L2, L3), (A, B) in zip(mats, pairs)
+    ]

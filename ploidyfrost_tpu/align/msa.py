@@ -202,14 +202,23 @@ class SeqAlign:
 
     # -- progressive MSA ---------------------------------------------------
 
-    def sequence_alignment(self, strs: list[str]):
+    def sequence_alignment(self, strs: list[str], first_align=None):
         """SequenceAlignment (src/SeqAlign.cpp:550-640).
 
         Returns (aligned_rows, snp_pos, indel_pos, partition, indel_len)
         where aligned_rows replaces the input vector (the reference
         mutates `str` in place).
+
+        first_align: optional precomputed needleman_wunsch(strs[0],
+        strs[1]) result — the device-batched analysis phase computes the
+        first-pair alignments of ALL bubbles in one kernel call and
+        passes them in here (align/batch_nw.py).
         """
-        align_vec = self.needleman_wunsch(strs[0], strs[1])
+        align_vec = (
+            first_align
+            if first_align is not None
+            else self.needleman_wunsch(strs[0], strs[1])
+        )
         str_pairs: list[list[str]] = [[au.str1, au.str2] for au in align_vec]
         for i in range(2, len(strs)):
             temp_pairs = str_pairs

@@ -224,16 +224,40 @@ def search_seeds(g: CDBGraph, seeds: np.ndarray):
     (status, psec, nseen, seen[MS], cyc[MS]) arrays in seed order."""
     import jax.numpy as jnp
 
-    succ_node = jnp.asarray(
-        np.ascontiguousarray(g._succ, dtype=np.int64).astype(np.int32)
-    )
+    # pad the CSR successor array to a tiered unitig count: the search
+    # program's shapes then depend only on the tier, so the (expensive,
+    # remote-compiled) kernel is reused across graphs instead of
+    # recompiling for every graph size. On accelerators the minimum tier
+    # is 2^20 rows (32 MB) stepping 4x — ONE compiled program covers all
+    # graphs below a million unitigs; CPU (tests) uses fine pow2 tiers.
+    # Pad rows are all -1 (no successors) and are never reached.
+    import jax
+
+    n = g._succ.shape[0]
+    if jax.default_backend() != "cpu":
+        cap = 1 << 20
+        while cap < n:
+            cap <<= 2
+    else:
+        cap = 1 << max(n - 1, 1).bit_length()
+    succ_padded = np.full((cap, 2, 4), -1, dtype=np.int32)
+    succ_padded[:n] = g._succ
+    succ_node = jnp.asarray(succ_padded)
     fn = _build_search(MAX_SEEN, MAX_STACK, MAX_STEPS)
+    # fixed chunk width on accelerators: every call reuses ONE compiled
+    # program (the search kernel's compile is expensive); on CPU (tests)
+    # small power-of-two tiers keep tiny graphs fast.
+    import jax
+
+    if jax.default_backend() == "cpu":
+        chunk_w = 1 << max(min(len(seeds), CHUNK) - 1, 1).bit_length()
+    else:
+        chunk_w = CHUNK
     outs = []
-    for off in range(0, len(seeds), CHUNK):
-        chunk = seeds[off : off + CHUNK]
-        pad = 0
-        if len(chunk) < CHUNK and len(seeds) > CHUNK:
-            pad = CHUNK - len(chunk)
+    for off in range(0, len(seeds), chunk_w):
+        chunk = seeds[off : off + chunk_w]
+        pad = chunk_w - len(chunk)
+        if pad:
             chunk = np.concatenate([chunk, np.full(pad, chunk[-1], np.int32)])
         res = fn(jnp.asarray(chunk, dtype=jnp.int32), succ_node)
         res = [np.asarray(r) for r in res]

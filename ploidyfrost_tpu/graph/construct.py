@@ -60,17 +60,15 @@ def _member(sorted_kmers: np.ndarray, queries: np.ndarray) -> np.ndarray:
     return sorted_kmers[idx] == queries, idx
 
 
-def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
-    """Compact a sorted distinct canonical k-mer set into unitigs."""
-    km = np.asarray(kmers, dtype=np.uint64)
-    n = len(km)
-    if n == 0:
-        return CDBGraph([], k)
-    mask = np.uint64((1 << (2 * k)) - 1)
-    rc = _revcomp_np(km, k)
+def _links_probes(km: np.ndarray, rc: np.ndarray, k: int) -> np.ndarray:
+    """Unitig-interior links via 16 membership probes (the original
+    design; kept as the oracle for the junction-sort fast path and as
+    the exact fallback for palindromic-junction stubs).
 
-    # successor presence for both orientations x 4 bases
-    # fw orientation = the canonical form itself; bw = its revcomp
+    Returns nxt_node int64[2n]: node = 2*i + o (o=0 canonical
+    orientation, o=1 revcomp); -1 = no unique link."""
+    n = len(km)
+    mask = np.uint64((1 << (2 * k)) - 1)
     succ_idx = np.full((2, 4, n), -1, dtype=np.int64)  # index of next canon
     succ_flip = np.zeros((2, 4, n), dtype=bool)  # next is stored as rc
     outdeg = np.zeros((2, n), dtype=np.int8)
@@ -84,14 +82,12 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
             succ_flip[o, b] = nxt != nxt_canon  # arriving in rc orientation
             outdeg[o] += present.astype(np.int8)
 
-    # node = 2*i + o  (o=0: canonical orientation, o=1: revcomp)
     # link (i,o) -> (j,o') iff outdeg[o,i]==1 and indeg(j,o')==1,
     # where indeg(j, o') == outdeg[1-o', j] (predecessors of one side are
     # the successors of the twin side, NeighborIterator semantics)
     nxt_node = np.full(2 * n, -1, dtype=np.int64)
     for o in range(2):
         uniq = outdeg[o] == 1
-        # the single successor: sum over bases of (idx+1), minus 1
         j = np.where(
             uniq,
             np.max(np.where(succ_idx[o] >= 0, succ_idx[o], -1), axis=0),
@@ -115,44 +111,121 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
     a = np.arange(2 * n)
     b = nxt_node
     has = b >= 0
-    twin = lambda x: x ^ 1  # noqa: E731
-    back = np.where(has, nxt_node[twin(np.where(has, b, 0))], -1)
-    ok = has & (back == twin(a))
-    nxt_node = np.where(ok, nxt_node, -1)
+    back = np.where(has, nxt_node[np.where(has, b, 0) ^ 1], -1)
+    ok = has & (back == (a ^ 1))
+    return np.where(ok, nxt_node, -1)
 
-    # has_pred via scatter
-    has_pred = np.zeros(2 * n, dtype=bool)
+
+def _links_junctions(km: np.ndarray, rc: np.ndarray, k: int) -> np.ndarray:
+    """Unitig-interior links via ONE sort over (k-1)-mer junctions.
+
+    Every (k-mer, orientation) drops one out-stub at the canonical form
+    of its (k-1)-suffix. A traversal edge v_o -> w_o' exists iff
+    suffix(v_o) == prefix(w_o'), i.e. the two out-stubs (v, o) and
+    (w, 1-o') meet at the same junction with opposite polarity (polarity
+    = whether the suffix equals the canonical junction form). The
+    reference's unitig-interior rule (outdeg==1 and indeg==1,
+    bifrost CompactedDBG construct/join semantics) becomes: the junction
+    has EXACTLY one stub of each polarity. Those runs link their two
+    stubs mutually — back-link consistency is automatic.
+
+    Palindromic junctions (suffix == its own revcomp; possible since
+    k-1 is even) make polarity meaningless; stubs in such runs — a
+    handful per genome — are resolved with the exact probe logic.
+
+    Equivalence with _links_probes is asserted by
+    tests/test_construct.py on random k-mer sets."""
+    n = len(km)
+    mask_j = np.uint64((1 << (2 * (k - 1))) - 1)
+    # out-stub suffix per node (2i + o): o=0 canonical value, o=1 revcomp
+    suf = np.empty(2 * n, dtype=np.uint64)
+    suf[0::2] = km & mask_j
+    suf[1::2] = rc & mask_j
+    suf_rc = _revcomp_np(suf, k - 1)
+    jc = np.minimum(suf, suf_rc)
+    pol = suf == jc
+    pal = suf == suf_rc
+
+    order = np.argsort(jc, kind="stable")
+    js = jc[order]
+    run_start = np.empty(len(js), dtype=bool)
+    run_start[0] = True
+    run_start[1:] = js[1:] != js[:-1]
+    run_id = np.cumsum(run_start) - 1
+    n_runs = int(run_id[-1]) + 1 if len(js) else 0
+    pol_o = pol[order]
+    pal_o = pal[order]
+    nf = np.bincount(run_id[pol_o], minlength=n_runs)
+    nr = np.bincount(run_id[~pol_o], minlength=n_runs)
+    has_pal = np.zeros(n_runs, dtype=bool)
+    np.logical_or.at(has_pal, run_id, pal_o)
+
+    nxt_node = np.full(2 * n, -1, dtype=np.int64)
+    linkable = (nf == 1) & (nr == 1) & ~has_pal
+    if linkable.any():
+        starts = np.flatnonzero(run_start)
+        s2 = starts[linkable]  # runs of exactly two stubs
+        a_pos = np.where(pol_o[s2], s2, s2 + 1)  # the polarity-1 stub
+        b_pos = np.where(pol_o[s2], s2 + 1, s2)
+        a_node = order[a_pos]
+        b_node = order[b_pos]
+        ok = (a_node >> 1) != (b_node >> 1)  # not_self
+        a_node, b_node = a_node[ok], b_node[ok]
+        nxt_node[a_node] = b_node ^ 1
+        nxt_node[b_node] = a_node ^ 1
+
+    if has_pal.any():
+        # exact local resolution: recompute the out-links of every stub
+        # in a palindromic run with the probe rule, restricted to those
+        # nodes (their partners' mutual links are overwritten to match)
+        probe_links = _links_probes(km, rc, k)
+        run_pal = has_pal[run_id]
+        pal_nodes = order[run_pal]
+        nxt_node[pal_nodes] = probe_links[pal_nodes]
+        # mutual consistency: a->b requires twin(b)->twin(a)
+        tgt = nxt_node[pal_nodes]
+        valid = tgt >= 0
+        nxt_node[(tgt[valid] ^ 1)] = probe_links[tgt[valid] ^ 1]
+    return nxt_node
+
+
+def _rank_chains(nxt_node: np.ndarray):
+    """List-rank the link chains: returns (order, run boundaries) where
+    `order` lists node ids grouped by chain in walk order.
+
+    Pointer jumping with active-set compaction: each node chases its
+    predecessor pointer, doubling the stride every round but dropping
+    out as soon as it resolves its head — total work O(n log L_avg)
+    instead of O(n log L_max)."""
+    N = len(nxt_node)
+    a = np.arange(N, dtype=np.int64)
+    prev = np.full(N, -1, dtype=np.int64)
     valid_to = nxt_node[nxt_node >= 0]
-    has_pred[valid_to] = True
-
-    # pointer-doubling list ranking over the predecessor pointers:
-    # pos[i] = distance from i back to its chain head; headof[i] = head id
-    prev = np.full(2 * n, -1, dtype=np.int64)
     prev[valid_to] = a[nxt_node >= 0]
-    pos = np.where(prev >= 0, np.int64(1), np.int64(0))
-    jump = prev.copy()  # jump[i] = node `pos-accumulated` hops back
+
+    is_head = prev < 0
+    headof = np.where(is_head, a, -1)
+    pos = np.zeros(N, dtype=np.int64)
+    jump = prev.copy()
+    active = np.flatnonzero(~is_head)
+    pos[active] = 1
     for _ in range(64):
-        active = jump >= 0
-        if not active.any():
+        if len(active) == 0:
             break
-        ji = np.where(active, jump, 0)
-        jump2 = np.where(active, jump[ji], -1)
-        pos = pos + np.where(active, pos[ji], 0)
-        jump = np.where(active, jump2, jump)
-    headof = np.where(prev < 0, a, -1)
-    ptr2 = prev.copy()
-    for _ in range(64):
-        active = (headof < 0) & (ptr2 >= 0)
-        if not active.any():
+        j = jump[active]
+        done = is_head[j]
+        fin = active[done]
+        headof[fin] = j[done]
+        active = active[~done]
+        if len(active) == 0:
             break
-        pi = np.where(active, ptr2, 0)
-        resolved = headof[pi] >= 0
-        headof = np.where(active & resolved, headof[pi], headof)
-        ptr2 = np.where(active & ~resolved, ptr2[pi], ptr2)
-    # cycles: headof still -1 — break at the minimum node id of the cycle
-    cyc = headof < 0
-    if cyc.any():
-        # pointer-double a min-accumulator around the cycle
+        j = j[~done]
+        pos[active] += pos[j]
+        jump[active] = jump[j]
+    if len(active):
+        # cycles: no head reachable. Break each at its minimum node id.
+        cyc = np.zeros(N, dtype=bool)
+        cyc[active] = True
         mn = a.copy()
         jp = prev.copy()
         for _ in range(64):
@@ -163,13 +236,10 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
             mn = np.where(act, np.minimum(mn, mn[ji]), mn)
             jp = np.where(act, jp[ji], jp)
         headof = np.where(cyc, mn, headof)
-        # cut the link INTO each cycle head so chains are linear
         cyc_heads = np.unique(headof[cyc])
         pr = prev[cyc_heads]
         nxt_node[pr[pr >= 0]] = -1
         prev[cyc_heads] = -1
-        # recompute positions for cycle nodes relative to their head
-        # (rare path: do it sequentially per cycle)
         for h in cyc_heads:
             p = 0
             node = h
@@ -179,9 +249,22 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
                 p += 1
                 if node < 0 or node == h:
                     break
+    # single fused sort key (headof < 2n < 2^32, pos < n): ~3x cheaper
+    # than np.lexsort's two passes
+    key = (headof.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
+    return np.argsort(key, kind="stable"), headof
 
-    # group nodes by head, order by position -> chains
-    order = np.lexsort((pos, headof))
+
+def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
+    """Compact a sorted distinct canonical k-mer set into unitigs."""
+    km = np.asarray(kmers, dtype=np.uint64)
+    n = len(km)
+    if n == 0:
+        return CDBGraph([], k)
+    rc = _revcomp_np(km, k)
+
+    nxt_node = _links_junctions(km, rc, k)
+    order, headof = _rank_chains(nxt_node)
     sorted_heads = headof[order]
     chain_start = np.concatenate(
         [[True], sorted_heads[1:] != sorted_heads[:-1]]

@@ -152,14 +152,35 @@ class SeqStore:
         nk = np.maximum(self.lengths - k + 1, 0)
         return acc[mask], nk
 
+    def kmers_at(self, upos: np.ndarray, k: int) -> np.ndarray:
+        """MSB-first packed k-mer starting at each absolute padded base
+        position (k <= 31; the window must lie inside one unitig). Reads
+        at most two words per query — O(q * k) instead of the corpus
+        scan of _kmer_acc."""
+        upos = np.asarray(upos, dtype=np.int64)
+        w0 = upos >> 5
+        b = ((upos & 31).astype(np.uint64)) * np.uint64(2)
+        lo = self.words[w0] >> b
+        hi_idx = np.minimum(w0 + 1, len(self.words) - 1)
+        hi = np.where(
+            b == 0,
+            np.uint64(0),
+            self.words[hi_idx] << ((np.uint64(64) - b) & np.uint64(63)),
+        )
+        val = lo | hi  # 32 bases LSB-first starting at upos
+        acc = np.zeros(len(upos), dtype=np.uint64)
+        for t in range(k):
+            acc = (acc << np.uint64(2)) | (
+                (val >> np.uint64(2 * t)) & np.uint64(3)
+            )
+        return acc
+
     def head_kmers(self, k: int) -> np.ndarray:
         """First k-mer of each unitig (requires all lengths >= k)."""
-        acc = self._kmer_acc(k)
-        return acc[self.off_w[:-1] * 32]
+        return self.kmers_at(self.off_w[:-1] * 32, k)
 
     def tail_kmers(self, k: int) -> np.ndarray:
-        acc = self._kmer_acc(k)
-        return acc[self.off_w[:-1] * 32 + self.lengths - k]
+        return self.kmers_at(self.off_w[:-1] * 32 + self.lengths - k, k)
 
     # -- reordering ----------------------------------------------------------
 

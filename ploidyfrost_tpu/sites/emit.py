@@ -189,32 +189,44 @@ def _enumerate_paths(g: CDBGraph, entrance, exit_h) -> list[str]:
     return str_vec
 
 
-def analyze_bubbles(
+@dataclass
+class _AlignJob:
+    """One admitted bubble awaiting alignment (collected by the walk)."""
+
+    str_vec: list[str]
+    var_id: int
+    is_strict: bool
+    entrance_id: int
+    exit_id: int
+    u_size: int
+    exit_size: int
+    core: float
+    covs: list[float] | None  # strict only
+
+
+def collect_align_jobs(
     g: CDBGraph,
     state: BubbleState,
     unitig_cov: np.ndarray,
     unitig_min: np.ndarray,
     lower: int,
     upper: int,
-    match: float = 2.0,
-    mismatch: float = -1.0,
-    gap: float = -3.0,
-) -> tuple[list[BubbleEmission], list[str]]:
-    """Pass 1 of ploidyEstimation: walk every unvisited strand, align,
-    extract sites. Returns (bubble emissions, all window strings needed).
+) -> list[_AlignJob]:
+    """Phase 1 of ploidyEstimation (src/CDBG.cpp:1101-1705): walk every
+    unvisited strand in unitig-id order, apply the admission gates, and
+    record one alignment job per admitted bubble. The walk's visited-bit
+    state machine is identical to the reference's; alignment results
+    never feed back into it, so alignment is deferred and batched.
 
-    unitig_cov/unitig_min: per-unitig mean and min k-mer coverage
-    (the batched readCov(u) replacement, src/CDBG.cpp:66-120).
+    Only strands whose pointer bits are set (registered bubble
+    entrances/exits) are 'unvisited' after the search phase, so the walk
+    iterates just those instead of all n unitigs.
     """
-    seqalign = SeqAlign(match, mismatch, gap)
-    k = g.k
-    emissions: list[BubbleEmission] = []
-    window_strings: list[str] = []
+    jobs: list[_AlignJob] = []
     var_count = 0
-
-    for ui in range(len(g)):
-        if state.is_both_visited(ui):
-            continue
+    # candidates: any unitig with a set pointer bit (not-visited strand)
+    for ui in np.flatnonzero(state.flags & 0x03):
+        ui = int(ui)
         while not state.is_both_visited(ui):
             if not state.is_plus_visited(ui):
                 strand = True
@@ -252,48 +264,20 @@ def analyze_bubbles(
                     covs = [covs[i] for i in order]
                     branches = [branches[i] for i in order]
                     str_vec = [b.mapped_seq for b in branches]
-                    rows, snp_pos, indel_pos, partition, indel_len = (
-                        seqalign.sequence_alignment(str_vec)
-                    )
                     var_count += 1
-                    be = BubbleEmission(
-                        var_count,
-                        True,
-                        int(g.ids[ui]),
-                        int(g.ids[exit_h.idx]),
-                        rows,
-                        core,
-                    )
-                    var_site = [
-                        i for i in range(len(partition)) if partition[i][-1] > 0
-                    ]
-                    total = sum(covs)
-                    indel = 0
-                    for i, vs in enumerate(var_site):
-                        part = partition[vs]
-                        maxnum = max(part)
-                        temp_cov = [0.0] * maxnum
-                        for j in range(len(part)):
-                            temp_cov[part[j] - 1] += covs[j]
-                        vd = _var_distance(i, var_site, u.size, exit_h.size)
-                        if vs in indel_pos:
-                            indel += 1
-                            vt = indel_len[indel - 1]
-                        else:
-                            vt = 0
-                        be.sites.append(
-                            SiteEmission(
-                                maxnum,
-                                True,
-                                vt,
-                                var_count,
-                                len(var_site),
-                                vd,
-                                group_cov=temp_cov,
-                                sum_cov=total,
-                            )
+                    jobs.append(
+                        _AlignJob(
+                            str_vec,
+                            var_count,
+                            True,
+                            int(g.ids[ui]),
+                            int(g.ids[exit_h.idx]),
+                            u.size,
+                            exit_h.size,
+                            core,
+                            covs,
                         )
-                    emissions.append(be)
+                    )
             else:
                 partner = state.bubble_exit(ui, strand)
                 if partner == NULL:
@@ -301,64 +285,165 @@ def analyze_bubbles(
                     state.set_visited(ui, strand)
                     continue
                 exit_h = u.successors()[0]
+                steps = 0
                 while exit_h.idx != partner:
-                    exit_h = exit_h.successors()[0]
+                    # bounded: an inconsistent chain must not loop forever
+                    succ = exit_h.successors()
+                    steps += 1
+                    if not succ or steps > len(g):
+                        exit_h = None
+                        break
+                    exit_h = succ[0]
+                if exit_h is None:
+                    state.set_visited(ui, strand)
+                    continue
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue
                 str_vec = _enumerate_paths(g, u, exit_h)
                 str_vec = _sorted_desc_by_len_then_str(str_vec)
-                rows, snp_pos, indel_pos, partition, indel_len = (
-                    seqalign.sequence_alignment(str_vec)
-                )
                 var_count += 1
-                be = BubbleEmission(
-                    var_count,
-                    False,
-                    int(g.ids[ui]),
-                    int(g.ids[exit_h.idx]),
-                    rows,
-                    core,
-                )
-                var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
-                indel = 0
-                for i, vs in enumerate(var_site):
-                    part = partition[vs]
-                    maxnum = max(part)
-                    vd = _var_distance(i, var_site, u.size, exit_h.size)
-                    if vs in indel_pos:
-                        windows = _indel_windows(rows, vs, indel, k)
-                        indel += 1
-                        vt = indel_len[indel - 1]
-                    else:
-                        windows = _snp_windows(rows, vs, indel, indel_len, k)
-                        vt = 0
-                    # group -> SORTED set of distinct windows (std::set
-                    # iteration order, src/CDBG.cpp:1449, 1527-1530)
-                    group_sets: list[set[str]] = [set() for _ in range(maxnum)]
-                    for pi in range(len(part)):
-                        group_sets[part[pi] - 1].add(windows[pi])
-                    gw = [sorted(s) for s in group_sets]
-                    for grp in gw:
-                        window_strings.extend(grp)
-                    be.sites.append(
-                        SiteEmission(
-                            maxnum,
-                            False,
-                            vt,
-                            var_count,
-                            len(var_site),
-                            vd,
-                            group_windows=gw,
-                        )
+                jobs.append(
+                    _AlignJob(
+                        str_vec,
+                        var_count,
+                        False,
+                        int(g.ids[ui]),
+                        int(g.ids[exit_h.idx]),
+                        u.size,
+                        exit_h.size,
+                        core,
+                        None,
                     )
-                emissions.append(be)
+                )
             # mark entrance + exit strands visited (src/CDBG.cpp:1656-1679)
             state.set_visited(ui, strand)
             if exit_h.strand:
                 state.set_visited(exit_h.idx, False)
             else:
                 state.set_visited(exit_h.idx, True)
+    return jobs
+
+
+# minimum number of bubbles before the device NW kernel pays for itself
+_BATCH_MIN = 16
+
+
+def analyze_bubbles(
+    g: CDBGraph,
+    state: BubbleState,
+    unitig_cov: np.ndarray,
+    unitig_min: np.ndarray,
+    lower: int,
+    upper: int,
+    match: float = 2.0,
+    mismatch: float = -1.0,
+    gap: float = -3.0,
+    batch_align: bool = True,
+) -> tuple[list[BubbleEmission], list[str]]:
+    """ploidyEstimation analysis: walk every unvisited strand, align,
+    extract sites. Returns (bubble emissions, all window strings needed).
+
+    unitig_cov/unitig_min: per-unitig mean and min k-mer coverage
+    (the batched readCov(u) replacement, src/CDBG.cpp:66-120).
+
+    Structure (TPU-first): the walk collects alignment jobs; the
+    first-pair NW DP of EVERY bubble runs as one batched device kernel
+    per size tier (align/batch_nw.py); traceback, progressive MSA of the
+    rare >2-branch bubbles, and site extraction remain host passes in
+    the original emission order.
+    """
+    seqalign = SeqAlign(match, mismatch, gap)
+    k = g.k
+    jobs = collect_align_jobs(g, state, unitig_cov, unitig_min, lower, upper)
+
+    firsts: list = [None] * len(jobs)
+    if (
+        batch_align
+        and len(jobs) >= _BATCH_MIN
+        and all(float(v).is_integer() for v in (match, mismatch, gap))
+    ):
+        from ..align.batch_nw import needleman_wunsch_batch
+
+        firsts = needleman_wunsch_batch(
+            [(j.str_vec[0], j.str_vec[1]) for j in jobs], match, mismatch, gap
+        )
+
+    emissions: list[BubbleEmission] = []
+    window_strings: list[str] = []
+    for job, fa in zip(jobs, firsts):
+        rows, snp_pos, indel_pos, partition, indel_len = (
+            seqalign.sequence_alignment(job.str_vec, first_align=fa)
+        )
+        be = BubbleEmission(
+            job.var_id,
+            job.is_strict,
+            job.entrance_id,
+            job.exit_id,
+            rows,
+            job.core,
+        )
+        var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
+        indel = 0
+        if job.is_strict:
+            covs = job.covs
+            total = sum(covs)
+            for i, vs in enumerate(var_site):
+                part = partition[vs]
+                maxnum = max(part)
+                temp_cov = [0.0] * maxnum
+                for j in range(len(part)):
+                    temp_cov[part[j] - 1] += covs[j]
+                vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+                if vs in indel_pos:
+                    indel += 1
+                    vt = indel_len[indel - 1]
+                else:
+                    vt = 0
+                be.sites.append(
+                    SiteEmission(
+                        maxnum,
+                        True,
+                        vt,
+                        job.var_id,
+                        len(var_site),
+                        vd,
+                        group_cov=temp_cov,
+                        sum_cov=total,
+                    )
+                )
+        else:
+            for i, vs in enumerate(var_site):
+                part = partition[vs]
+                maxnum = max(part)
+                vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+                if vs in indel_pos:
+                    windows = _indel_windows(rows, vs, indel, k)
+                    indel += 1
+                    vt = indel_len[indel - 1]
+                else:
+                    windows = _snp_windows(rows, vs, indel, indel_len, k)
+                    vt = 0
+                # group -> SORTED set of distinct windows (std::set
+                # iteration order, src/CDBG.cpp:1449, 1527-1530)
+                group_sets: list[set[str]] = [set() for _ in range(maxnum)]
+                for pi in range(len(part)):
+                    group_sets[part[pi] - 1].add(windows[pi])
+                gw = [sorted(s) for s in group_sets]
+                for grp in gw:
+                    window_strings.extend(grp)
+                be.sites.append(
+                    SiteEmission(
+                        maxnum,
+                        False,
+                        vt,
+                        job.var_id,
+                        len(var_site),
+                        vd,
+                        group_windows=gw,
+                    )
+                )
+        emissions.append(be)
     return emissions, window_strings
 
 

@@ -168,34 +168,37 @@ def window_coverage_colored(dbs, strings: list[str], cutoffs):
     return out
 
 
-def analyze_bubbles_colored(
+@dataclass
+class _ColoredAlignJob:
+    """One admitted colored bubble awaiting alignment."""
+
+    str_vec: list[str]
+    var_id: int
+    is_strict: bool
+    entrance_id: int
+    exit_id: int
+    u_size: int
+    exit_size: int
+    core: float
+    cov_vec: np.ndarray | None  # strict: [C, n_branches], sorted order
+
+
+def _collect_colored_jobs(
     g: CDBGraph,
     colors: ColorMatrix,
     state: BubbleState,
     umean: np.ndarray,
     uok: np.ndarray,
-    match: float = 2.0,
-    mismatch: float = -1.0,
-    gap: float = -3.0,
-):
-    """Pass 1 of the colored ploidyEstimation (src/CCDBG.cpp:2759-3531).
-
-    umean/uok: per-(unitig, color) mean coverage and validity from
-    unitig_coverage_colored. Returns (emissions, window strings,
-    window->contained-colors map).
-    """
-    seqalign = SeqAlign(match, mismatch, gap)
-    k = g.k
+) -> list[_ColoredAlignJob]:
+    """Walk phase of the colored ploidyEstimation
+    (src/CCDBG.cpp:2759-3531): admission gates + branch ordering, with
+    alignment deferred (same job-collection structure as emit.py)."""
     C = colors.n_colors
-    kindex: KmerPosIndex | None = None
-    emissions: list[ColoredBubbleEmission] = []
-    window_strings: list[str] = []
-    window_colors: dict[str, np.ndarray] = {}
+    jobs: list[_ColoredAlignJob] = []
     var_count = 0
 
-    for ui in range(len(g)):
-        if state.is_both_visited(ui):
-            continue
+    for ui in np.flatnonzero(state.flags & 0x03):
+        ui = int(ui)
         while not state.is_both_visited(ui):
             if not state.is_plus_visited(ui):
                 strand = True
@@ -263,119 +266,189 @@ def analyze_bubbles_colored(
                     branches = [branches[i] for i in order]
                     cov_vec = cov_vec[:, order]
                     str_vec = [b.mapped_seq for b in branches]
-                    rows, snp_pos, indel_pos, partition, indel_len = (
-                        seqalign.sequence_alignment(str_vec)
-                    )
                     var_count += 1
-                    be = ColoredBubbleEmission(
-                        var_count,
-                        True,
-                        int(g.ids[ui]),
-                        int(g.ids[exit_h.idx]),
-                        rows,
-                        core,
-                    )
-                    var_site = [
-                        i for i in range(len(partition)) if partition[i][-1] > 0
-                    ]
-                    coefficient = max_cramer(cov_vec)
-                    indel = 0
-                    for i, vs in enumerate(var_site):
-                        part = partition[vs]
-                        maxnum = max(part)
-                        group_cov = np.zeros((C, maxnum), dtype=np.float64)
-                        for ci in range(C):
-                            for j in range(len(part)):
-                                group_cov[ci, part[j] - 1] += cov_vec[ci, j]
-                        vd = _var_distance(i, var_site, u.size, exit_h.size)
-                        if vs in indel_pos:
-                            indel += 1
-                            vt = indel_len[indel - 1]
-                        else:
-                            vt = 0
-                        be.sites.append(
-                            ColoredSiteEmission(
-                                maxnum,
-                                True,
-                                vt,
-                                var_count,
-                                len(var_site),
-                                vd,
-                                color_group_cov=group_cov,
-                                coefficient=coefficient,
-                            )
+                    jobs.append(
+                        _ColoredAlignJob(
+                            str_vec,
+                            var_count,
+                            True,
+                            int(g.ids[ui]),
+                            int(g.ids[exit_h.idx]),
+                            u.size,
+                            exit_h.size,
+                            core,
+                            cov_vec,
                         )
-                    emissions.append(be)
+                    )
             else:
                 partner = state.bubble_exit(ui, strand)
                 if partner == NULL:
                     state.set_visited(ui, strand)
                     continue
                 exit_h = u.successors()[0]
+                steps = 0
                 while exit_h.idx != partner:
-                    exit_h = exit_h.successors()[0]
+                    succ = exit_h.successors()
+                    steps += 1
+                    if not succ or steps > len(g):
+                        exit_h = None
+                        break
+                    exit_h = succ[0]
+                if exit_h is None:
+                    state.set_visited(ui, strand)
+                    continue
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue
                 str_vec = _enumerate_paths(g, u, exit_h)
                 str_vec = _sorted_desc_by_len_then_str(str_vec)
-                rows, snp_pos, indel_pos, partition, indel_len = (
-                    seqalign.sequence_alignment(str_vec)
-                )
                 var_count += 1
-                be = ColoredBubbleEmission(
-                    var_count,
-                    False,
-                    int(g.ids[ui]),
-                    int(g.ids[exit_h.idx]),
-                    rows,
-                    core,
-                )
-                var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
-                indel = 0
-                for i, vs in enumerate(var_site):
-                    part = partition[vs]
-                    maxnum = max(part)
-                    vd = _var_distance(i, var_site, u.size, exit_h.size)
-                    if vs in indel_pos:
-                        windows = _indel_windows(rows, vs, indel, k)
-                        indel += 1
-                        vt = indel_len[indel - 1]
-                    else:
-                        windows = _snp_windows(rows, vs, indel, indel_len, k)
-                        vt = 0
-                    group_sets: list[set[str]] = [set() for _ in range(maxnum)]
-                    for pi in range(len(part)):
-                        group_sets[part[pi] - 1].add(windows[pi])
-                    gw = [sorted(s) for s in group_sets]
-                    for grp in gw:
-                        for w in grp:
-                            window_strings.append(w)
-                            if w not in window_colors:
-                                # findUnitig(s,0,len) -> colors of the
-                                # window's first k-mer (src/CCDBG.cpp:3250)
-                                if kindex is None:
-                                    kindex = KmerPosIndex(g)
-                                wi, pos, hit = kindex.find_string_head(w)
-                                assert hit, f"window head k-mer not in graph: {w[:k]}"
-                                window_colors[w] = colors.colors_at(wi, pos).copy()
-                    be.sites.append(
-                        ColoredSiteEmission(
-                            maxnum,
-                            False,
-                            vt,
-                            var_count,
-                            len(var_site),
-                            vd,
-                            group_windows=gw,
-                        )
+                jobs.append(
+                    _ColoredAlignJob(
+                        str_vec,
+                        var_count,
+                        False,
+                        int(g.ids[ui]),
+                        int(g.ids[exit_h.idx]),
+                        u.size,
+                        exit_h.size,
+                        core,
+                        None,
                     )
-                emissions.append(be)
+                )
             state.set_visited(ui, strand)
             if exit_h.strand:
                 state.set_visited(exit_h.idx, False)
             else:
                 state.set_visited(exit_h.idx, True)
+    return jobs
+
+
+def analyze_bubbles_colored(
+    g: CDBGraph,
+    colors: ColorMatrix,
+    state: BubbleState,
+    umean: np.ndarray,
+    uok: np.ndarray,
+    match: float = 2.0,
+    mismatch: float = -1.0,
+    gap: float = -3.0,
+    batch_align: bool = True,
+):
+    """Colored ploidyEstimation analysis (src/CCDBG.cpp:2759-3531).
+
+    umean/uok: per-(unitig, color) mean coverage and validity from
+    unitig_coverage_colored. Returns (emissions, window strings,
+    window->contained-colors map).
+
+    Same TPU-first structure as emit.analyze_bubbles: the walk collects
+    jobs, the first-pair NW DP of every bubble runs as one batched
+    device kernel per size tier, site extraction finishes on host."""
+    from .emit import _BATCH_MIN
+
+    seqalign = SeqAlign(match, mismatch, gap)
+    k = g.k
+    C = colors.n_colors
+    kindex: KmerPosIndex | None = None
+    window_strings: list[str] = []
+    window_colors: dict[str, np.ndarray] = {}
+
+    jobs = _collect_colored_jobs(g, colors, state, umean, uok)
+
+    firsts: list = [None] * len(jobs)
+    if (
+        batch_align
+        and len(jobs) >= _BATCH_MIN
+        and all(float(v).is_integer() for v in (match, mismatch, gap))
+    ):
+        from ..align.batch_nw import needleman_wunsch_batch
+
+        firsts = needleman_wunsch_batch(
+            [(j.str_vec[0], j.str_vec[1]) for j in jobs], match, mismatch, gap
+        )
+
+    emissions: list[ColoredBubbleEmission] = []
+    for job, fa in zip(jobs, firsts):
+        rows, snp_pos, indel_pos, partition, indel_len = (
+            seqalign.sequence_alignment(job.str_vec, first_align=fa)
+        )
+        be = ColoredBubbleEmission(
+            job.var_id,
+            job.is_strict,
+            job.entrance_id,
+            job.exit_id,
+            rows,
+            job.core,
+        )
+        var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
+        indel = 0
+        if job.is_strict:
+            cov_vec = job.cov_vec
+            coefficient = max_cramer(cov_vec)
+            for i, vs in enumerate(var_site):
+                part = partition[vs]
+                maxnum = max(part)
+                group_cov = np.zeros((C, maxnum), dtype=np.float64)
+                for ci in range(C):
+                    for j in range(len(part)):
+                        group_cov[ci, part[j] - 1] += cov_vec[ci, j]
+                vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+                if vs in indel_pos:
+                    indel += 1
+                    vt = indel_len[indel - 1]
+                else:
+                    vt = 0
+                be.sites.append(
+                    ColoredSiteEmission(
+                        maxnum,
+                        True,
+                        vt,
+                        job.var_id,
+                        len(var_site),
+                        vd,
+                        color_group_cov=group_cov,
+                        coefficient=coefficient,
+                    )
+                )
+        else:
+            for i, vs in enumerate(var_site):
+                part = partition[vs]
+                maxnum = max(part)
+                vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+                if vs in indel_pos:
+                    windows = _indel_windows(rows, vs, indel, k)
+                    indel += 1
+                    vt = indel_len[indel - 1]
+                else:
+                    windows = _snp_windows(rows, vs, indel, indel_len, k)
+                    vt = 0
+                group_sets: list[set[str]] = [set() for _ in range(maxnum)]
+                for pi in range(len(part)):
+                    group_sets[part[pi] - 1].add(windows[pi])
+                gw = [sorted(s) for s in group_sets]
+                for grp in gw:
+                    for w in grp:
+                        window_strings.append(w)
+                        if w not in window_colors:
+                            # findUnitig(s,0,len) -> colors of the
+                            # window's first k-mer (src/CCDBG.cpp:3250)
+                            if kindex is None:
+                                kindex = KmerPosIndex(g)
+                            wi, pos, hit = kindex.find_string_head(w)
+                            assert hit, f"window head k-mer not in graph: {w[:k]}"
+                            window_colors[w] = colors.colors_at(wi, pos).copy()
+                be.sites.append(
+                    ColoredSiteEmission(
+                        maxnum,
+                        False,
+                        vt,
+                        job.var_id,
+                        len(var_site),
+                        vd,
+                        group_windows=gw,
+                    )
+                )
+        emissions.append(be)
     return emissions, window_strings, window_colors
 
 

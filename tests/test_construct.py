@@ -155,3 +155,48 @@ def test_kmc_roundtrip(tmp_path):
     assert k2 == k
     np.testing.assert_array_equal(km2, km)
     np.testing.assert_array_equal(ct2, ct)
+
+
+def test_junction_links_match_probe_links():
+    """The junction-sort link derivation must agree with the probe-based
+    oracle — including palindromic-junction cases, which small k makes
+    frequent ((k-1)-mer palindromes need k odd, k-1 even)."""
+    from ploidyfrost_tpu.graph.construct import (
+        _links_junctions,
+        _links_probes,
+        _revcomp_np,
+    )
+
+    rng = np.random.default_rng(0)
+    for k in (5, 7, 25):
+        for n in (50, 500, 3000):
+            km = rng.integers(0, 1 << (2 * k), size=n, dtype=np.uint64)
+            km = np.unique(_canon_np(km, k))
+            rc = _revcomp_np(km, k)
+            got = _links_junctions(km, rc, k)
+            exp = _links_probes(km, rc, k)
+            np.testing.assert_array_equal(got, exp, err_msg=f"k={k} n={n}")
+
+
+def test_junction_links_match_probe_links_genome_like():
+    from ploidyfrost_tpu.graph.construct import (
+        _links_junctions,
+        _links_probes,
+        _revcomp_np,
+    )
+    from ploidyfrost_tpu.kmer.pack import canonical_np, sequence_kmers_np
+
+    rng = np.random.default_rng(1)
+    for k in (5, 11, 25):
+        g1 = rng.integers(0, 4, 4000).astype(np.uint8)
+        g2 = g1.copy()
+        snp = rng.random(4000) < 0.02
+        g2[snp] = (g2[snp] + rng.integers(1, 4, snp.sum())) % 4
+        k1, _ = sequence_kmers_np(g1, k)
+        k2, _ = sequence_kmers_np(g2, k)
+        km = np.unique(canonical_np(np.concatenate([k1, k2]), k))
+        rc = _revcomp_np(km, k)
+        np.testing.assert_array_equal(
+            _links_junctions(km, rc, k), _links_probes(km, rc, k),
+            err_msg=f"k={k}",
+        )
