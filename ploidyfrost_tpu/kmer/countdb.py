@@ -51,8 +51,24 @@ class KmerCountDB:
         ctp = np.zeros(cap, dtype=np.int64)
         kmp[: self._n] = km
         ctp[: self._n] = ct
-        self._km = jnp.asarray(kmp)
-        self._ct = jnp.asarray(ctp)
+        # host mirror for latency-bound probe batches; the device copy
+        # is materialized lazily for device-resident callers
+        self._km_np = kmp
+        self._ct_np = ctp
+        self._km_dev = None
+        self._ct_dev = None
+
+    @property
+    def _km(self):
+        if self._km_dev is None:
+            self._km_dev = jnp.asarray(self._km_np)
+        return self._km_dev
+
+    @property
+    def _ct(self):
+        if self._ct_dev is None:
+            self._ct_dev = jnp.asarray(self._ct_np)
+        return self._ct_dev
 
     @classmethod
     def from_counter(cls, counter: KmerCounter, min_count: int = 1):
@@ -69,17 +85,24 @@ class KmerCountDB:
     def lookup(self, queries: jnp.ndarray):
         """counts, found  for a flat batch of packed (any-strand) k-mers.
 
-        Queries are padded to power-of-two buckets so the jitted
-        searchsorted program is reused across call shapes."""
+        Small/medium batches resolve on HOST (canonicalize + one
+        searchsorted against the host mirror): binary probes are
+        latency-bound pointer chases, which the VPU executes ~4x slower
+        per query than the host cores, and a device round trip adds
+        H2D/D2H transfers on top. The device path (_lookup) remains for
+        callers that already hold device-resident queries."""
         q = np.asarray(queries, dtype=np.uint64).ravel()
         n = len(q)
         if n == 0:
             return np.zeros(0, np.int64), np.zeros(0, bool)
-        cap = 1 << max(n - 1, 1).bit_length()
-        qp = np.zeros(cap, dtype=np.uint64)
-        qp[:n] = q
-        counts, hit = _lookup(self._km, self._ct, jnp.asarray(qp), self.k)
-        return np.asarray(counts)[:n], np.asarray(hit)[:n]
+        from .pack import canonical_np
+
+        canon = canonical_np(q, self.k)
+        idx = np.searchsorted(self._km_np, canon)
+        np.clip(idx, 0, max(self._n - 1, 0), out=idx)
+        hit = self._km_np[idx] == canon
+        counts = np.where(hit, self._ct_np[idx], 0)
+        return counts, hit
 
     def lookup_strings(self, strings: list[str]):
         """Per-string k-mer counts: returns list of int arrays, one per

@@ -6,21 +6,26 @@ space (src/CDBG.cpp:1726-1777, SURVEY §2e). The TPU-native design uses a
 
     data  — read batches are data-parallel (every device ingests its own
             slice of the read stream),
-    shard — the k-mer hash space is model-parallel: each `shard` column
-            owns a slice of the canonical k-mer space; the count table
-            for that slice is replicated across the `data` axis.
+    shard — together with `data`, addresses the k-mer hash space: the
+            count table is sharded over the FULL flattened mesh; device
+            (a, s) owns hash subspace {h : h mod D == a*n_shard + s}.
 
 One count step:
   1. each device packs + canonicalizes its local reads,
-  2. k-mers route to their owning shard with an all_to_all over `shard`
-     (fixed per-destination quotas; overflow is *detected* and surfaced,
-     never silently dropped),
-  3. each device sorts + segment-reduces its received k-mers,
-  4. partial tables merge across `data` with an all_gather + local merge,
-  5. the coverage histogram is a psum over everything.
+  2. k-mers route to their owner in TWO all_to_all hops — over `shard`
+     by owner mod n_shard, then over `data` by owner div n_shard — with
+     fixed per-destination quotas (overflow *detected* and surfaced for
+     a host grow-and-replay, never silently dropped). Send buffers are
+     built with gathers from the owner-sorted stream, not scatters;
+  3. each device merges its received k-mers into its resident table
+     slice with the same sort-collapse used by the single-chip counter
+     (kmer/count.py:_collapse — sorts + run-length compaction, no
+     scatter/segment_sum, which measure 10-100x slower than sort);
+  4. the coverage histogram is local (every key is owned by exactly one
+     device) + one psum over both axes.
 
 Collectives ride ICI inside a slice; there are no locks anywhere —
-conflict resolution is positional (sort + segment ops), exactly the
+conflict resolution is positional (sort + run-length ops), exactly the
 bulk-synchronous replacement for MinimizerIndex's striped spin locks
 (bifrost/src/MinimizerIndex.hpp:176-184).
 """
@@ -45,6 +50,19 @@ def make_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
     return Mesh(devices, axis_names=("data", "shard"))
 
 
+def balanced_mesh(n_devices: int, devices=None) -> Mesh:
+    """Most-square (data, shard) factorization of n_devices — works for
+    ANY device count, not just powers of two (n_devices=6 -> 3x2). Prime
+    counts degrade to data-only (n x 1), which is still a valid mesh."""
+    n_shard = 1
+    for d in range(2, int(n_devices**0.5) + 1):
+        if n_devices % d == 0:
+            n_shard = d
+    if n_devices > 1 and n_shard == 1 and n_devices % 2 == 0:
+        n_shard = 2
+    return make_mesh(n_devices // n_shard, n_shard, devices)
+
+
 def _mix64(x: jnp.ndarray) -> jnp.ndarray:
     """splitmix64 finalizer — decorrelates the shard id from the k-mer's
     lexicographic prefix so shards stay balanced."""
@@ -58,19 +76,48 @@ def hash_shard(kmers: jnp.ndarray, n_shard: int) -> jnp.ndarray:
     return (_mix64(kmers) % jnp.uint64(n_shard)).astype(jnp.int32)
 
 
-def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
-    """Returns a jitted step: (codes, table_km, table_ct) -> updated tables
-    + histogram-ready overflow flag.
+def _route(km, dest, n_dest, quota, axis_name):
+    """One all_to_all hop: group the local stream by destination and
+    exchange fixed-quota bins. Send buffers are GATHERED from the
+    dest-sorted stream (no scatters). Returns (received stream flattened,
+    bin-overflow flag). Sentinel entries have dest == n_dest and are
+    parked past every real bin."""
+    dest_s, km_s = jax.lax.sort((dest, km), num_keys=1)
+    seg_start = jnp.searchsorted(dest_s, jnp.arange(n_dest + 1, dtype=dest.dtype))
+    bin_sizes = seg_start[1:] - seg_start[:-1]
+    overflow = jnp.any(bin_sizes > quota)
+    b = jnp.arange(n_dest, dtype=jnp.int32)[:, None]
+    j = jnp.arange(quota, dtype=jnp.int32)[None, :]
+    src = seg_start[b] + j
+    valid = j < bin_sizes[b]
+    send = jnp.where(
+        valid, km_s[jnp.minimum(src, km_s.shape[0] - 1)], SENTINEL
+    )  # [n_dest, quota]
+    recv = jax.lax.all_to_all(
+        send, axis_name=axis_name, split_axis=0, concat_axis=0, tiled=False
+    )
+    return recv.reshape(-1), overflow
 
-    codes:     [B, L] uint8, sharded over ('data', None) — each data row
-               (all shard columns see the same rows? no: sharded over both
-               axes' product via ('data','shard') on the batch dim).
-    table_km:  [n_shard_axis_local ...] actually [cap] per device,
-               replicated over data, sharded over shard: full logical
-               shape [n_shard * cap] partitioned on axis 0.
-    """
+
+def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
+    """Returns a jitted step: (codes, table_km, table_ct) ->
+    (table_km, table_ct, hist, overflow, n_instances).
+
+    codes: [B, L] uint8 read batch, split over the flattened mesh on the
+    batch dim. table_km/table_ct: logical [D * cap] arrays sharded over
+    the flattened mesh — device (a, s) owns the slice for hash subspace
+    a * n_shard + s, so no two devices hold the same key and nothing is
+    replicated or redundantly recomputed.
+
+    On overflow (routing quota or table capacity) the step's outputs are
+    NOT trustworthy; the host wrapper (sharded_count) grows and replays
+    the same batch — mirroring the single-chip grow-and-replay
+    (kmer/count.py:321-341)."""
     n_data = mesh.shape["data"]
     n_shard = mesh.shape["shard"]
+    D = n_data * n_shard
+
+    from ..kmer.count import _collapse
 
     def step(codes, table_km, table_ct):
         # ---- per-device: pack & canonicalize local reads -------------
@@ -80,69 +127,58 @@ def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
         km = jnp.where(valid, canon, SENTINEL)
         n_local_instances = jnp.sum(valid)
 
-        # ---- route to owning shard over the `shard` axis -------------
-        owner = jnp.where(km != SENTINEL, hash_shard(km, n_shard), n_shard)
-        order = jnp.argsort(owner)
-        km_sorted = km[order]
-        owner_sorted = owner[order]
-        # position of each k-mer within its destination bin
-        seg_start = jnp.searchsorted(owner_sorted, jnp.arange(n_shard + 1))
-        bin_sizes = seg_start[1:] - seg_start[:-1]
-        overflow = jnp.any(bin_sizes[:n_shard] > quota)
-        # scatter into [n_shard, quota] send buffer (overflow clipped but
-        # flagged above so the host can re-run with a larger quota)
-        pos_in_bin = jnp.arange(km.shape[0]) - seg_start[jnp.clip(owner_sorted, 0, n_shard)]
-        send = jnp.full((n_shard, quota), SENTINEL, dtype=jnp.uint64)
-        dest_ok = (owner_sorted < n_shard) & (pos_in_bin < quota)
-        # masked entries get an out-of-range row and are dropped
-        send = send.at[
-            jnp.where(dest_ok, owner_sorted, n_shard),
-            jnp.where(dest_ok, pos_in_bin, 0),
-        ].set(km_sorted, mode="drop")
-        recv = jax.lax.all_to_all(
-            send, axis_name="shard", split_axis=0, concat_axis=0, tiled=False
+        # owner = a * n_shard + s over the flattened mesh
+        owner = jnp.where(
+            km != SENTINEL, hash_shard(km, D), np.int32(D)
         )
-        # recv: [n_shard, quota] — k-mers this shard owns, from every peer
-        mine = recv.reshape(-1)
-
-        # ---- merge across the data axis ------------------------------
-        gathered = jax.lax.all_gather(mine, axis_name="data", tiled=True)
-
-        # ---- local sort + segment-reduce + merge with resident table -
-        allkm = jnp.concatenate([table_km, gathered])
-        allct = jnp.concatenate(
-            [table_ct, jnp.where(gathered != SENTINEL, 1, 0).astype(jnp.int64)]
+        # ---- hop 1: route by s over `shard` --------------------------
+        s_dest = jnp.where(
+            owner < D, owner % n_shard, np.int32(n_shard)
+        ).astype(jnp.int32)
+        km1, ovf1 = _route(km, s_dest, n_shard, quota, "shard")
+        # ---- hop 2: route by a over `data` ---------------------------
+        owner1 = jnp.where(
+            km1 != SENTINEL, hash_shard(km1, D), np.int32(D)
         )
-        order2 = jnp.argsort(allkm)
-        allkm = allkm[order2]
-        allct = allct[order2]
-        first = jnp.concatenate([np.array([True]), allkm[1:] != allkm[:-1]])
-        seg = jnp.cumsum(first) - 1
-        merged_ct = jax.ops.segment_sum(allct, seg, num_segments=table_cap)
-        merged_km = jnp.full((table_cap,), SENTINEL, dtype=jnp.uint64)
-        merged_km = merged_km.at[seg].set(allkm, mode="drop")
-        merged_ct = jnp.where(merged_km == SENTINEL, 0, merged_ct)
-        table_overflow = jnp.any(seg >= table_cap)
+        a_dest = jnp.where(
+            owner1 < D, owner1 // n_shard, np.int32(n_data)
+        ).astype(jnp.int32)
+        km2, ovf2 = _route(km1, a_dest, n_data, quota * n_shard, "data")
 
-        # ---- global histogram (psum over both axes) -------------------
-        live = merged_km != SENTINEL
-        hist = jnp.bincount(
-            jnp.where(live, jnp.clip(merged_ct, 0, 255), 0).astype(jnp.int32),
-            length=256,
+        # ---- local sort-collapse merge with the resident slice -------
+        hi = (km2 >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = km2.astype(jnp.uint32)
+        thi = (table_km >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = table_km.astype(jnp.uint32)
+        uhi, ulo, uct, n_uniq = _collapse(
+            thi, tlo, table_ct.astype(jnp.int32), hi, lo, 10000
         )
-        hist = hist.at[0].set(0)
-        # each shard column's table is replicated over data; dividing by
-        # n_data after a full psum keeps one copy per shard
-        hist = jax.lax.psum(hist, axis_name="shard")
-        hist = jax.lax.psum(hist, axis_name="data") // n_data
+        merged_km = (uhi.astype(jnp.uint64) << jnp.uint64(32)) | ulo.astype(
+            jnp.uint64
+        )
+        merged_km = jnp.where(uhi == 0xFFFFFFFF, SENTINEL, merged_km)
+        table_overflow = n_uniq > table_cap
+
+        # ---- global histogram: local (keys owned uniquely) + psum ----
+        c = jnp.clip(uct, 0, 255).astype(jnp.int32)
+        cs = jax.lax.sort(c)
+        edges = jnp.searchsorted(cs, jnp.arange(257, dtype=jnp.int32))
+        hist = (edges[1:] - edges[:-1]).astype(jnp.int64).at[0].set(0)
+        hist = jax.lax.psum(jax.lax.psum(hist, "shard"), "data")
         n_instances = jax.lax.psum(
             jax.lax.psum(n_local_instances, "shard"), "data"
         )
+        overflow = jax.lax.psum(
+            jax.lax.psum(
+                (ovf1 | ovf2 | table_overflow).astype(jnp.int32), "shard"
+            ),
+            "data",
+        ) > 0
         return (
             merged_km,
-            merged_ct,
+            uct.astype(jnp.int64),
             hist,
-            overflow | table_overflow,
+            overflow,
             n_instances,
         )
 
@@ -153,12 +189,12 @@ def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
         mesh=mesh,
         in_specs=(
             P(("data", "shard")),  # batch dim split across every device
-            P("shard"),            # table sharded over k-mer space
-            P("shard"),
+            P(("data", "shard")),  # table sharded over the full mesh
+            P(("data", "shard")),
         ),
         out_specs=(
-            P("shard"),
-            P("shard"),
+            P(("data", "shard")),
+            P(("data", "shard")),
             P(),       # histogram replicated
             P(),       # overflow flag replicated
             P(),
@@ -168,12 +204,63 @@ def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
     return jax.jit(step_sharded)
 
 
+def sharded_count(mesh: Mesh, k: int, code_batches, table_cap=4096, quota=None):
+    """Count canonical k-mers of `code_batches` over the mesh, growing
+    and replaying on any overflow (the multi-chip analog of
+    KmerCounter's grow-and-replay, kmer/count.py:321-341).
+
+    Returns (kmers sorted u64 np.ndarray, counts int64, hist int64[256],
+    n_instances). Deterministic and mesh-shape invariant: the merged
+    global table depends only on the k-mer multiset
+    (tests/test_mesh_invariance.py)."""
+    D = mesh.shape["data"] * mesh.shape["shard"]
+    batches = []
+    for b in code_batches:
+        b = np.asarray(b, dtype=np.uint8)
+        # pad the batch dim to a multiple of the device count with
+        # invalid rows (code 0xF > 3 -> every window invalid)
+        if b.shape[0] % D:
+            pad = D - b.shape[0] % D
+            b = np.concatenate(
+                [b, np.full((pad, b.shape[1]), 0x0F, np.uint8)]
+            )
+        batches.append(b)
+    if quota is None:
+        mx = max((b.shape[0] * (b.shape[1] - k + 1)) for b in batches)
+        quota = max(64, (2 * mx) // D)
+
+    while True:
+        step = build_sharded_count_step(mesh, k, table_cap, quota)
+        km, ct = init_sharded_table(mesh, table_cap)
+        hist = None
+        overflowed = False
+        n_total = 0
+        for b in batches:
+            km, ct, hist, overflow, n_inst = step(b, km, ct)
+            n_total += int(n_inst)
+            if bool(overflow):
+                overflowed = True
+                break
+        if not overflowed:
+            break
+        table_cap *= 2
+        quota *= 2
+
+    km = np.asarray(km)
+    ct = np.asarray(ct)
+    live = km != SENTINEL
+    km, ct = km[live], ct[live]
+    order = np.argsort(km)
+    return km[order], ct[order], np.asarray(hist), n_total
+
+
 def init_sharded_table(mesh: Mesh, table_cap: int):
-    """Empty sharded table: logical [n_shard * cap] sorted-with-sentinels."""
-    n_shard = mesh.shape["shard"]
-    km = jnp.full((n_shard * table_cap,), SENTINEL, dtype=jnp.uint64)
-    ct = jnp.zeros((n_shard * table_cap,), dtype=jnp.int64)
-    s = NamedSharding(mesh, P("shard"))
+    """Empty count table: logical [D * cap] sharded over the full mesh,
+    sentinel-filled (sentinels sort last in the collapse)."""
+    D = mesh.shape["data"] * mesh.shape["shard"]
+    km = jnp.full((D * table_cap,), SENTINEL, dtype=jnp.uint64)
+    ct = jnp.zeros((D * table_cap,), dtype=jnp.int64)
+    s = NamedSharding(mesh, P(("data", "shard")))
     return jax.device_put(km, s), jax.device_put(ct, s)
 
 

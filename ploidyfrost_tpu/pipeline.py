@@ -61,11 +61,11 @@ def unitig_coverage(db, g):
         print(f"CDBG::readCov():{missing} kmer can not found .")
         raise SystemExit(1)
     counts = counts.astype(np.float64)
-    seg = np.repeat(np.arange(len(lens)), lens)
-    sums = np.bincount(seg, weights=counts, minlength=len(lens))
-    mean = sums / lens
-    mn = np.full(len(lens), 10000, dtype=np.int64)
-    np.minimum.at(mn, seg, counts.astype(np.int64))
+    offs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    # segment mean/min via reduceat (ufunc.at is orders slower)
+    mean = np.add.reduceat(counts, offs) / lens
+    mn = np.minimum.reduceat(counts, offs).astype(np.int64)
     return mean, mn
 
 
@@ -92,12 +92,10 @@ def window_coverage(db, strings: list[str], lower: int, upper: int):
         print(f"CDBG::readCov():{missing} kmer can not found .")
         raise SystemExit(1)
     counts = counts.astype(np.float64)
-    seg = np.repeat(np.arange(len(lens)), lens)
     inb = (counts > lower) & (counts < upper)
-    ok = np.ones(len(lens), dtype=bool)
-    np.logical_and.at(ok, seg, inb)
-    sums = np.bincount(seg, weights=counts, minlength=len(lens))
-    mean = sums / lens
+    starts = offs[:-1]
+    ok = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
+    mean = np.add.reduceat(counts, starts) / lens
     for i, s in enumerate(uniq):
         out[s] = (float(mean[i]), bool(ok[i]))
     return out

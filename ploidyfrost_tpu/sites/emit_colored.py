@@ -115,7 +115,8 @@ def unitig_coverage_colored(dbs, g: CDBGraph, cutoffs):
     all-k-mers-within-(low,up) validity flag. One device gather pass
     per color database."""
     flat, lens = g.store.all_kmers(g.k)
-    seg = np.repeat(np.arange(len(lens)), lens)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
     C = len(dbs)
     mean = np.zeros((len(lens), C), dtype=np.float64)
     ok = np.zeros((len(lens), C), dtype=bool)
@@ -124,11 +125,8 @@ def unitig_coverage_colored(dbs, g: CDBGraph, cutoffs):
         low, up = cutoffs[c]
         counts = counts.astype(np.float64)
         inb = hit & (counts > low) & (counts < up)
-        allok = np.ones(len(lens), dtype=bool)
-        np.logical_and.at(allok, seg, inb)
-        sums = np.bincount(seg, weights=counts, minlength=len(lens))
-        mean[:, c] = sums / lens
-        ok[:, c] = allok
+        ok[:, c] = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
+        mean[:, c] = np.add.reduceat(counts, starts) / lens
     return mean, ok
 
 
@@ -149,7 +147,7 @@ def window_coverage_colored(dbs, strings: list[str], cutoffs):
     flat = np.empty(int(offs[-1]), dtype=np.uint64)
     for i, s in enumerate(uniq):
         flat[offs[i] : offs[i + 1]] = string_kmers_np(s, k)
-    seg = np.repeat(np.arange(len(lens)), lens)
+    starts = offs[:-1]
     C = len(dbs)
     means = np.zeros((len(lens), C), dtype=np.float64)
     oks = np.zeros((len(lens), C), dtype=bool)
@@ -158,11 +156,8 @@ def window_coverage_colored(dbs, strings: list[str], cutoffs):
         low, up = cutoffs[c]
         counts = counts.astype(np.float64)
         inb = hit & (counts > low) & (counts < up)
-        allok = np.ones(len(lens), dtype=bool)
-        np.logical_and.at(allok, seg, inb)
-        sums = np.bincount(seg, weights=counts, minlength=len(lens))
-        means[:, c] = sums / lens
-        oks[:, c] = allok
+        oks[:, c] = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
+        means[:, c] = np.add.reduceat(counts, starts) / lens
     for i, s in enumerate(uniq):
         out[s] = (means[i], oks[i])
     return out
