@@ -343,16 +343,42 @@ def cmd_build(argv) -> int:
     return build_graph_cli(opt)
 
 
+def _extract_trim(argv):
+    """Strip ``--trim[=SPEC]`` from argv; return (argv, TrimConfig|None).
+
+    SPEC is Trimmomatic-style, default = the reference pipeline's
+    arguments (script/pipeline/1.trim:16):
+    LEADING:10,TRAILING:10,SLIDINGWINDOW:3:20,MINLEN:50.
+    """
+    from .io.trim import TrimConfig
+
+    out, trim = [], None
+    for a in argv:
+        if a == "--trim":
+            trim = TrimConfig()
+        elif a.startswith("--trim="):
+            trim = TrimConfig.parse(a[len("--trim=") :])
+        else:
+            out.append(a)
+    return out, trim
+
+
 def cmd_pipeline(argv) -> int:
     from .pipeline import run_pipeline_cli
 
-    return run_pipeline_cli(parse_options(argv, Options()))
+    argv, trim = _extract_trim(argv)
+    opt = parse_options(argv, Options())
+    opt.trim = trim
+    return run_pipeline_cli(opt)
 
 
 def cmd_pipeline_multi(argv) -> int:
     from .pipeline import run_multisample_pipeline_cli
 
-    return run_multisample_pipeline_cli(parse_options(argv, Options()))
+    argv, trim = _extract_trim(argv)
+    opt = parse_options(argv, Options())
+    opt.trim = trim
+    return run_multisample_pipeline_cli(opt)
 
 
 def main(argv=None) -> int:

@@ -115,6 +115,7 @@ def read_batches_py(
     k: int,
     batch_reads: int = 4096,
     max_len: int = 512,
+    trim=None,
 ) -> Iterator[np.ndarray]:
     """Pure-Python batcher: yield [batch_reads, max_len] uint8 code
     batches from FASTX files.
@@ -122,13 +123,29 @@ def read_batches_py(
     Sequences longer than max_len are tiled into windows overlapping by
     k-1 bases. Padding uses INVALID_BASE so padded windows produce no
     valid k-mers.
+
+    ``trim`` (a ``trim.TrimConfig``) enables the quality-trimming stage
+    (Trimmomatic's role in the reference pipeline, script/pipeline/1.trim)
+    on FASTQ inputs before batching.
     """
     if isinstance(paths, str):
         paths = [paths]
     buf = np.full((batch_reads, max_len), INVALID_BASE, dtype=np.uint8)
     row = 0
+
+    def _sequences(path):
+        if trim is None:
+            yield from iter_sequences(path)
+        else:
+            from .trim import trim_read
+
+            for seq, qual in iter_sequences_with_qual(path):
+                t = trim_read(seq, qual, trim)
+                if t:
+                    yield t
+
     for path in paths:
-        for seq in iter_sequences(path):
+        for seq in _sequences(path):
             codes = encode_bases(seq)
             n = len(codes)
             step = max_len - (k - 1)
@@ -199,12 +216,15 @@ def read_batches(
     k: int,
     batch_reads: int = 4096,
     max_len: int = 512,
+    trim=None,
 ) -> Iterator[np.ndarray]:
     """Yield [batch_reads, max_len] uint8 code batches from FASTX files,
-    using the native loader when it is available (identical output)."""
+    using the native loader when it is available (identical output).
+    Quality trimming (``trim``) currently runs on the Python path only —
+    the native loader discards quality lines."""
     from ..native import load_library
 
-    if load_library() is not None:
+    if trim is None and load_library() is not None:
         yield from read_batches_native(paths, k, batch_reads, max_len)
     else:
-        yield from read_batches_py(paths, k, batch_reads, max_len)
+        yield from read_batches_py(paths, k, batch_reads, max_len, trim=trim)

@@ -24,7 +24,7 @@ Design, driven by measured v5e op costs (ns/element):
   * a collapse sorts the buffer (2-op sort), finds run starts, compacts
     them with a second (key,pos) sort — cheaper than any scatter — takes
     run lengths as position diffs, then merges with the resident unique
-    table via one small 3-op sort. ~74M k-mers/s/chip at a 96M buffer.
+    table via one small 3-op sort (throughput: see bench.py / BENCH_r*).
   * capacity overflow is *detected* at collapse time (the true unique
     count is returned uncapped) and the host grows the table and replays
     the same buffer — never a silent drop.

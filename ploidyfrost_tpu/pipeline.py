@@ -379,7 +379,8 @@ def run_multisample_pipeline_cli(opt) -> int:
         for i, sample in enumerate(opt.inputs):
             files = sample.split(",")
             counter = KmerCounter(opt.k)
-            for batch in read_batches(files, opt.k):
+            trim = getattr(opt, "trim", None)
+            for batch in read_batches(files, opt.k, trim=trim):
                 counter.add_reads(batch)
             counter.write_histogram(f"{pre}.s{i}.hist.txt")
             hist = counter.histogram(10000)
@@ -440,7 +441,7 @@ def run_pipeline_cli(opt) -> int:
     from .graph.construct import build_graph_from_kmers, simplify
 
     counter = KmerCounter(opt.k)
-    for batch in read_batches(opt.inputs, opt.k):
+    for batch in read_batches(opt.inputs, opt.k, trim=getattr(opt, "trim", None)):
         counter.add_reads(batch)
     counter.write_histogram(opt.outprefix + ".hist.txt")
     hist = counter.histogram(10000)

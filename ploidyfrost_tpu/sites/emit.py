@@ -244,7 +244,15 @@ def collect_align_jobs(
             core = float(unitig_cov[ui])
             is_strict = state.is_strict(ui, strand)
             if is_strict:
-                exit_h = u.successors()[0].successors()[0]
+                # strict registration guarantees every branch has the
+                # exit as its only successor (src/CDBG.cpp:1019-1041);
+                # guard anyway so a corrupt graph fails soft, not loops
+                succ = u.successors()
+                exit_succ = succ[0].successors() if succ else []
+                if not exit_succ:
+                    state.set_visited(ui, strand)
+                    continue
+                exit_h = exit_succ[0]
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue

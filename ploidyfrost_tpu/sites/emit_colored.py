@@ -220,7 +220,15 @@ def _collect_colored_jobs(
                 else:
                     break
             if is_strict:
-                exit_h = u.successors()[0].successors()[0]
+                # strict registration guarantees every branch has the
+                # exit as its only successor (src/CCDBG.cpp:1497-1520);
+                # guard anyway so a corrupt graph fails soft, not loops
+                succ = u.successors()
+                exit_succ = succ[0].successors() if succ else []
+                if not exit_succ:
+                    state.set_visited(ui, strand)
+                    continue
+                exit_h = exit_succ[0]
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue
