@@ -267,6 +267,231 @@ def search_seeds(g: CDBGraph, seeds: np.ndarray):
     return [np.concatenate([o[i] for o in outs]) for i in range(5)]
 
 
+def _replay_fast(
+    g: CDBGraph,
+    state: BubbleState,
+    seed_list,
+    status,
+    psec,
+    nseen,
+    seen,
+    cyc,
+    complex_size: int,
+):
+    """Uncolored replay of the recorded search outcomes, in flat-int
+    form: identical state transitions to the UnitigHandle-based loop
+    (see _register_bubble / _set_no_bubble_* in superbubble.py, which
+    mirror src/CDBG.cpp:552-846) but ~100x faster — plain Python ints
+    over list-backed state, no handle objects, no method dispatch.
+    tests/test_batched.py cross-validates both paths on random graphs.
+    """
+    n = len(state.flags)
+    flags = state.flags.tolist()
+    plus = state.plus.tolist()
+    minus = state.minus.tolist()
+    succ = np.asarray(g._succ).tolist()  # [n][2][4] packed (idx*2+strand)
+    out_deg = np.asarray(g._out_deg).tolist()  # [n][2]
+    seeds_l = seed_list.tolist()
+    status_l = status.tolist()
+    psec_l = psec.tolist()
+    nseen_l = nseen.tolist()
+    seen_l = seen.tolist()
+    cyc_l = cyc.tolist()
+    NULLV = NULL
+
+    def set_plus_self(x):
+        plus[x] = x
+        flags[x] &= 0xFE
+
+    def set_minus_self(x):
+        minus[x] = x
+        flags[x] &= 0xFD
+
+    def detach_and_self(x):
+        ex = plus[x]
+        if ex != NULLV and ex != x:
+            if plus[ex] == x:
+                set_plus_self(ex)
+            else:
+                set_minus_self(ex)
+        set_plus_self(x)
+        ex = minus[x]
+        if ex != NULLV and ex != x:
+            if plus[ex] == x:
+                set_plus_self(ex)
+            else:
+                set_minus_self(ex)
+        set_minus_self(x)
+
+    def detach_endpoint(x, use_plus):
+        # the endpoint detach block of _set_no_bubble_all
+        # (src/CDBG.cpp:603-650): no ex != x guard, matching the ref
+        ex = plus[x] if use_plus else minus[x]
+        if ex != NULLV:
+            if plus[ex] == x:
+                set_plus_self(ex)
+            else:
+                set_minus_self(ex)
+        if use_plus:
+            set_plus_self(x)
+        else:
+            set_minus_self(x)
+
+    for si in range(len(seeds_l)):
+        sp = seeds_l[si]
+        i = sp >> 1
+        strand = sp & 1
+        if (plus[i] if strand else minus[i]) != NULLV:
+            continue  # claimed by an earlier registration
+        stt = status_l[si]
+        if stt == STAT_NONE:
+            continue
+        if stt == STAT_OVERFLOW:
+            # rare host fallback needs the real BubbleState: sync down,
+            # run, sync back up
+            state.flags = np.array(flags, dtype=np.uint8)
+            state.plus = np.array(plus, dtype=np.int64)
+            state.minus = np.array(minus, dtype=np.int64)
+            extract_superbubble(
+                g, state, UnitigHandle(g, i, bool(strand)), complex_size
+            )
+            flags = state.flags.tolist()
+            plus = state.plus.tolist()
+            minus = state.minus.tolist()
+            continue
+        ns = nseen_l[si]
+        row = seen_l[si]
+        if stt == STAT_STALL_CYCLE:
+            crow = cyc_l[si]
+            for slot in range(ns):
+                if crow[slot]:
+                    x = row[slot] >> 1
+                    detach_and_self(x)
+                    flags[x] |= 0x04
+            if strand:
+                set_plus_self(i)
+            else:
+                set_minus_self(i)
+            continue
+        pj = psec_l[si]
+        j = pj >> 1
+        jstrand = pj & 1
+        if stt == STAT_CYCLE_EXIT:
+            # _set_no_bubble_cycle (src/CDBG.cpp:552-602)
+            for slot in range(ns):
+                x = row[slot] >> 1
+                detach_and_self(x)
+                flags[x] |= 0x04
+            if strand:
+                set_plus_self(i)
+            else:
+                set_minus_self(i)
+            if not jstrand:
+                set_plus_self(j)
+            else:
+                set_minus_self(j)
+        elif stt == STAT_ABORT:
+            # _set_no_bubble_all (src/CDBG.cpp:603-699)
+            detach_endpoint(i, bool(strand))
+            detach_endpoint(j, not jstrand)
+            for slot in range(ns):
+                p = row[slot]
+                if p == sp or p == pj:
+                    continue
+                x = p >> 1
+                detach_and_self(x)
+                flags[x] |= 0x04
+        else:  # STAT_BUBBLE: _register_bubble (src/CDBG.cpp:700-846)
+            if ns < 4:
+                continue
+            if (flags[j] | flags[i]) & 0x04:
+                for slot in range(ns):
+                    p = row[slot]
+                    if p == sp:
+                        if strand:
+                            set_plus_self(i)
+                        else:
+                            set_minus_self(i)
+                        continue
+                    if p == pj:
+                        # inverted strand handling vs the cycle variant
+                        if jstrand:
+                            set_minus_self(j)
+                        else:
+                            set_plus_self(j)
+                        continue
+                    x = p >> 1
+                    detach_and_self(x)
+                    flags[x] |= 0x04
+                continue
+            if ns <= 6:
+                strict = True
+                for slot in range(ns):
+                    p = row[slot]
+                    if p == sp or p == pj:
+                        continue
+                    x = p >> 1
+                    xs = p & 1
+                    # exactly one predecessor == entrance unitig and one
+                    # successor == exit unitig (src/CDBG.cpp:1019-1041);
+                    # in-degree(x, s) == out-degree(x, !s), pred idx =
+                    # the single twin-successor's idx
+                    if out_deg[x][1 - xs] != 1 or out_deg[x][xs] != 1:
+                        strict = False
+                        break
+                    srow = succ[x][1 - xs]
+                    pk = srow[0]
+                    if pk < 0:
+                        pk = srow[1]
+                        if pk < 0:
+                            pk = srow[2]
+                            if pk < 0:
+                                pk = srow[3]
+                    if pk >> 1 != i:
+                        strict = False
+                        break
+                    srow = succ[x][xs]
+                    sk = srow[0]
+                    if sk < 0:
+                        sk = srow[1]
+                        if sk < 0:
+                            sk = srow[2]
+                            if sk < 0:
+                                sk = srow[3]
+                    if sk >> 1 != j:
+                        strict = False
+                        break
+                if strict:
+                    flags[i] |= 0x10 if strand else 0x08
+                    flags[j] |= 0x08 if jstrand else 0x10
+            if ns > complex_size:
+                flags[i] |= 0x40 if strand else 0x20
+                flags[j] |= 0x20 if jstrand else 0x40
+            for slot in range(ns):
+                p = row[slot]
+                if p == sp or p == pj:
+                    continue
+                x = p >> 1
+                detach_and_self(x)
+                flags[x] |= 0x04
+            if strand:
+                plus[i] = j
+                flags[i] |= 0x01
+            else:
+                minus[i] = j
+                flags[i] |= 0x02
+            if jstrand:
+                minus[j] = i
+                flags[j] |= 0x02
+            else:
+                plus[j] = i
+                flags[j] |= 0x01
+
+    state.flags = np.array(flags, dtype=np.uint8)
+    state.plus = np.array(plus, dtype=np.int64)
+    state.minus = np.array(minus, dtype=np.int64)
+
+
 def find_superbubbles_device(
     g: CDBGraph, complex_size: int = 8, colors=None
 ) -> tuple[BubbleState, list]:
@@ -293,7 +518,15 @@ def find_superbubbles_device(
 
     status, psec, nseen, seen, cyc = search_seeds(g, seed_list)
 
-    # ---- host replay in seed order ------------------------------------
+    if colors is None:
+        # flat-int replay: same transitions, no handle objects
+        _replay_fast(
+            g, state, seed_list, status, psec, nseen, seen, cyc, complex_size
+        )
+        return state, list_bubbles(state, n, colors)
+
+    # ---- host replay in seed order (colored: color gates need the
+    # ColorMatrix, keep the handle-based path) ---------------------------
     for si in range(len(seed_list)):
         s_packed = int(seed_list[si])
         i, strand = s_packed >> 1, bool(s_packed & 1)
