@@ -64,6 +64,10 @@ def _build_kernel(tier: int, chunk: int, match: int, dis: int, gap: int):
     import jax
     import jax.numpy as jnp
 
+    from ..util.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     T, CH = tier, chunk
     I32MIN = np.int32(-(2**31))
     m_ = np.int32(match)

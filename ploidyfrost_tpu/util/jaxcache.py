@@ -1,0 +1,63 @@
+"""Persistent JAX compilation cache for the device kernels.
+
+The search and NW kernels are compiled once per (tier, chunk) shape;
+on TPU backends the first compile is the expensive step (remote compile
+at the production tier). Enabling jax's persistent cache makes every
+warm process start instant. Opt out with PLOIDYFROST_JAX_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+_warmed = False
+
+
+def warm_transfer() -> None:
+    """One 4-byte device->host round-trip, once per process.
+
+    On the axon TPU tunnel the FIRST device->host transfer of a process
+    is pathologically slow when it is large (measured: 132 s for a 2 MB
+    array) yet milliseconds when a tiny transfer precedes it. Every
+    device code path calls this before its first real result fetch.
+    This — not kernel compile — was the round-2 'compile stall': the
+    search kernel compiled in ~2 s but its first result fetch hung."""
+    global _warmed
+    if _warmed:
+        return
+    _warmed = True
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        np.asarray(jax.block_until_ready(jnp.zeros((1,), jnp.int32)))
+    except Exception:
+        pass
+
+
+def enable_compilation_cache() -> None:
+    global _done
+    if _done:
+        warm_transfer()
+        return
+    _done = True
+    loc = os.environ.get("PLOIDYFROST_JAX_CACHE", "")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "ploidyfrost_jax"
+        )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1
+        )
+    except Exception:
+        pass  # older jax or read-only home: run without the cache
+    warm_transfer()
