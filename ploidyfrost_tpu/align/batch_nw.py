@@ -225,17 +225,24 @@ def needleman_wunsch_batch(
     dis_match: float = -1.0,
     gap: float = -3.0,
 ):
-    """Batch counterpart of nw.needleman_wunsch: device DP matrices +
-    host co-optimal traceback per pair. Falls back to the pure-host path
-    for non-integer scoring parameters."""
-    from .nw import _nw_matrix, _traceback
+    """Batch counterpart of nw.needleman_wunsch: DP flag matrices in
+    batch + host co-optimal traceback per pair.
 
-    try:
-        mats = nw_matrices_batched(pairs, match, dis_match, gap)
-    except ValueError:
-        mats = [
-            _nw_matrix(A, B, match, dis_match, gap) for A, B in pairs
-        ]
+    Matrix engine order: (1) the native C kernel — the analysis phase's
+    non-fast-path matrices are small (p90 ~100x100), where a scalar C
+    loop beats the device kernel's tunnel round-trip by ~50x; (2) the
+    device wavefront kernel; (3) the per-pair numpy wavefront (always
+    available, any scoring)."""
+    from .nw import _nw_matrix, _traceback, nw_matrices_native
+
+    mats = nw_matrices_native(pairs, match, dis_match, gap)
+    if mats is None:
+        try:
+            mats = nw_matrices_batched(pairs, match, dis_match, gap)
+        except ValueError:
+            mats = [
+                _nw_matrix(A, B, match, dis_match, gap) for A, B in pairs
+            ]
     return [
         _traceback(U, L2, L3, A, B, match, dis_match, gap)
         for (U, L2, L3), (A, B) in zip(mats, pairs)

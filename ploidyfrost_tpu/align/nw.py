@@ -349,9 +349,73 @@ def _traceback(Up, LeftUp, Left, str1: str, str2: str, match, dis_match, gap):
     return au_vec
 
 
+def nw_matrices_native(
+    pairs: list[tuple[str, str]], match: float, dis_match: float, gap: float
+):
+    """Batch DP flag matrices via the native C kernel
+    (native/nw_flags.cpp). Returns a list of (Up, LeftUp, Left) uint8
+    arrays identical to _nw_matrix per pair, or None when the kernel is
+    unavailable or the scoring parameters are not integers."""
+    if not all(float(v).is_integer() for v in (match, dis_match, gap)):
+        return None
+    from ..native import load_nw_library
+
+    lib = load_nw_library()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = len(pairs)
+    a_off = np.zeros(n + 1, np.int64)
+    b_off = np.zeros(n + 1, np.int64)
+    o_off = np.zeros(n + 1, np.int64)
+    for i, (A, B) in enumerate(pairs):
+        a_off[i + 1] = a_off[i] + len(A)
+        b_off[i + 1] = b_off[i] + len(B)
+        o_off[i + 1] = o_off[i] + 3 * (len(A) + 1) * (len(B) + 1)
+    abuf = np.frombuffer(
+        ("".join(A for A, _ in pairs)).encode() or b"\0", dtype=np.uint8
+    )
+    bbuf = np.frombuffer(
+        ("".join(B for _, B in pairs)).encode() or b"\0", dtype=np.uint8
+    )
+    out = np.empty(int(o_off[-1]) or 1, dtype=np.uint8)
+
+    def u8p(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def i64p(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    lib.pf_nw_flags_batch(
+        u8p(abuf), i64p(a_off), u8p(bbuf), i64p(b_off),
+        ctypes.c_int64(n),
+        ctypes.c_int32(int(match)), ctypes.c_int32(int(dis_match)),
+        ctypes.c_int32(int(gap)),
+        u8p(out), i64p(o_off),
+    )
+    results = []
+    for i, (A, B) in enumerate(pairs):
+        m, nn = len(A), len(B)
+        cells = (m + 1) * (nn + 1)
+        base = out[int(o_off[i]) : int(o_off[i + 1])]
+        results.append(
+            (
+                base[:cells].reshape(m + 1, nn + 1),
+                base[cells : 2 * cells].reshape(m + 1, nn + 1),
+                base[2 * cells :].reshape(m + 1, nn + 1),
+            )
+        )
+    return results
+
+
 def needleman_wunsch(
     A: str, B: str, match: float = 2.0, dis_match: float = -1.0, gap: float = -3.0
 ) -> list[AlignUnit]:
     """needlemanWunch (src/SeqAlign.cpp:480-549)."""
-    Up, LeftUp, Left = _nw_matrix(A, B, match, dis_match, gap)
+    nat = nw_matrices_native([(A, B)], match, dis_match, gap)
+    if nat is not None:
+        Up, LeftUp, Left = nat[0]
+    else:
+        Up, LeftUp, Left = _nw_matrix(A, B, match, dis_match, gap)
     return _traceback(Up, LeftUp, Left, A, B, match, dis_match, gap)

@@ -238,7 +238,9 @@ def cmd_cutoff_u(argv) -> int:
 
 def cmd_model(argv) -> int:
     from .model.gmm import run_model
+    from .util.jaxcache import warm_backend_async
 
+    warm_backend_async()  # overlap tunnel init with file parsing
     # model subcommand mutates defaults before parsing (src/Main.cpp:638-642)
     opt = Options()
     opt.coverage_lower = 1

@@ -57,6 +57,7 @@ class KmerCountDB:
         self._ct_np = ctp
         self._km_dev = None
         self._ct_dev = None
+        self._lut = None  # native bucketed-search prefix LUT (lazy)
 
     @property
     def _km(self):
@@ -98,11 +99,47 @@ class KmerCountDB:
         from .pack import canonical_np
 
         canon = canonical_np(q, self.k)
-        idx = np.searchsorted(self._km_np, canon)
+        idx = self._search(canon)
         np.clip(idx, 0, max(self._n - 1, 0), out=idx)
         hit = self._km_np[idx] == canon
         counts = np.where(hit, self._ct_np[idx], 0)
         return counts, hit
+
+    def _search(self, canon: np.ndarray) -> np.ndarray:
+        """lower_bound indexes of `canon` in the table: the native
+        bucketed binary search (native/lookup.cpp, a 2^16 prefix LUT +
+        per-bucket lower_bound — the same two-level structure as KMC's
+        .kmc_pre prefix table, KMC/kmc_api/kmc_file.cpp:136-230), with
+        np.searchsorted as the portable fallback."""
+        from ..native import load_lookup_library
+
+        lib = load_lookup_library()
+        if lib is None or len(canon) < 4096:
+            return np.searchsorted(self._km_np, canon)
+        if self._lut is None:
+            shift = max(2 * self.k - 16, 0)
+            bounds = (np.arange(65536, dtype=np.uint64) + 1) << np.uint64(
+                shift
+            )
+            lut = np.empty(65537, dtype=np.int64)
+            lut[0] = 0
+            lut[1:] = np.searchsorted(self._km_np, bounds)
+            self._lut = (lut, shift)
+        import ctypes
+
+        lut, shift = self._lut
+        canon = np.ascontiguousarray(canon, dtype=np.uint64)
+        out = np.empty(len(canon), dtype=np.int64)
+        lib.pf_lookup_u64(
+            self._km_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(len(self._km_np)),
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int32(shift),
+            canon.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.c_int64(len(canon)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
 
     def lookup_strings(self, strings: list[str]):
         """Per-string k-mer counts: returns list of int arrays, one per

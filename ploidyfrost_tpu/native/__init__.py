@@ -84,3 +84,83 @@ def load_library():
         lib.pfx_close.restype = None
         _lib = lib
         return _lib
+
+
+def _load_simple(src_name: str, lib_name: str, state: dict, sig):
+    """Build-and-load helper for single-file C ABI kernels (same
+    best-effort contract as the FASTX loader above)."""
+    if state.get("lib") is not None:
+        return state["lib"]
+    with _lock:
+        if state.get("lib") is not None or state.get("tried"):
+            return state.get("lib")
+        state["tried"] = True
+        if os.environ.get("PLOIDYFROST_NO_NATIVE"):
+            return None
+        src = os.path.join(os.path.dirname(__file__), src_name)
+        lib_path = os.path.join(_BUILD_DIR, lib_name)
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        try:
+            need_build = not os.path.exists(lib_path) or (
+                os.path.getmtime(src) > os.path.getmtime(lib_path)
+            )
+            if need_build:
+                subprocess.run(
+                    [
+                        os.environ.get("CXX", "g++"),
+                        "-O2",
+                        "-shared",
+                        "-fPIC",
+                        "-o",
+                        lib_path + ".tmp",
+                        src,
+                    ],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                os.replace(lib_path + ".tmp", lib_path)
+            lib = ctypes.CDLL(lib_path)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        sig(lib)
+        state["lib"] = lib
+        return lib
+
+
+_nw_state: dict = {}
+_lookup_state: dict = {}
+
+
+def load_nw_library():
+    """Return the loaded NW flag-kernel library, or None (fallback to
+    the numpy wavefront in align/nw.py)."""
+
+    def sig(lib):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.pf_nw_flags_batch.argtypes = [
+            u8p, i64p, u8p, i64p,
+            ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            u8p, i64p,
+        ]
+        lib.pf_nw_flags_batch.restype = None
+
+    return _load_simple("nw_flags.cpp", "libpfnw.so", _nw_state, sig)
+
+
+def load_lookup_library():
+    """Return the loaded bucketed-lookup library, or None (fallback to
+    np.searchsorted in kmer/countdb.py)."""
+
+    def sig(lib):
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.pf_lookup_u64.argtypes = [
+            u64p, ctypes.c_int64, i64p, ctypes.c_int32,
+            u64p, ctypes.c_int64, i64p,
+        ]
+        lib.pf_lookup_u64.restype = None
+
+    return _load_simple("lookup.cpp", "libpflookup.so", _lookup_state, sig)

@@ -147,6 +147,10 @@ def run_colored_analysis(opt) -> int:
     """The colored main run (src/Main.cpp:777-813): ColoredCDBG read,
     per-color KMC database open, setUnitigId, findSuperBubble,
     colored ploidyEstimation."""
+    from .util.jaxcache import warm_backend_async
+
+    warm_backend_async()  # overlap tunnel init with the host phases
+
     from .bubble.batched import find_superbubbles_device as find_superbubbles
     from .bubble.superbubble import write_superbubble_file
     from .graph.cdbg import CDBGraph
@@ -227,6 +231,10 @@ def run_colored_analysis(opt) -> int:
 def run_analysis(opt) -> int:
     """The reference main run (src/Main.cpp:764-853): graph load,
     setUnitigId, findSuperBubble, ploidyEstimation."""
+    from .util.jaxcache import warm_backend_async
+
+    warm_backend_async()  # overlap tunnel init with the host phases
+
     from .bubble.batched import find_superbubbles_device as find_superbubbles
     from .bubble.superbubble import write_superbubble_file
     from .graph.cdbg import CDBGraph
@@ -358,6 +366,10 @@ def run_multisample_pipeline_cli(opt) -> int:
     masked k-mer union -> colored graph -> colored analysis -> model.
     Every stage boundary is a durable artifact (SURVEY §5
     checkpoint/resume)."""
+    from .util.jaxcache import warm_backend_async
+
+    warm_backend_async()  # overlap tunnel init with the host phases
+
     from .graph.colors import color_graph
     from .graph.construct import build_graph_from_kmers, simplify
     from .io.fastx import read_batches
@@ -430,6 +442,10 @@ def run_multisample_pipeline_cli(opt) -> int:
 def run_pipeline_cli(opt) -> int:
     """reads -> count -> graph -> bubbles -> variants -> model, one shot
     (replaces script/pipeline/run.sh)."""
+    from .util.jaxcache import warm_backend_async
+
+    warm_backend_async()  # overlap tunnel init with the host phases
+
     from .kmer.cutoffs import cutoff_lower_from_counts, cutoff_upper_from_counts
     from .model.gmm import run_model
 

@@ -9,32 +9,59 @@ warm process start instant. Opt out with PLOIDYFROST_JAX_CACHE=0.
 from __future__ import annotations
 
 import os
+import threading
 
 _done = False
 _warmed = False
+_warm_lock = threading.Lock()
+_warm_thread: threading.Thread | None = None
 
 
 def warm_transfer() -> None:
     """One 4-byte device->host round-trip, once per process.
 
     On the axon TPU tunnel the FIRST device->host transfer of a process
-    is pathologically slow when it is large (measured: 132 s for a 2 MB
-    array) yet milliseconds when a tiny transfer precedes it. Every
-    device code path calls this before its first real result fetch.
-    This — not kernel compile — was the round-2 'compile stall': the
-    search kernel compiled in ~2 s but its first result fetch hung."""
+    is pathologically slow — measured anywhere from 0.1 s to ~4 min,
+    independent of transfer size or preceding host work (a tunnel-side
+    one-time setup cost). Every device code path funnels through this
+    before its first real result fetch, and the pipeline entry points
+    run it in a background thread (warm_backend_async) so the cost
+    overlaps the host-side build phases. This — not kernel compile —
+    was the round-2 'compile stall': the search kernel compiled in ~2 s
+    but its first result fetch hung."""
     global _warmed
-    if _warmed:
-        return
-    _warmed = True
-    try:
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
+    with _warm_lock:
+        if _warmed:
+            return
+        _warmed = True
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
 
-        np.asarray(jax.block_until_ready(jnp.zeros((1,), jnp.int32)))
-    except Exception:
-        pass
+            np.asarray(jax.block_until_ready(jnp.zeros((1,), jnp.int32)))
+        except Exception:
+            pass
+
+
+def warm_backend_async() -> None:
+    """Start backend init + first-transfer warmup in a daemon thread.
+
+    Call at the top of every pipeline entry point that will eventually
+    touch the device: the tunnel's one-time setup (GIL-released IO
+    wait) then overlaps the host-side counting/graph-build phases
+    instead of stalling the first device kernel."""
+    global _warm_thread
+    if _warm_thread is not None:
+        return
+
+    def _go():
+        enable_compilation_cache()
+
+    _warm_thread = threading.Thread(
+        target=_go, daemon=True, name="pf-tpu-warm"
+    )
+    _warm_thread.start()
 
 
 def enable_compilation_cache() -> None:
