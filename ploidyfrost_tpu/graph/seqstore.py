@@ -33,6 +33,26 @@ from ..kmer.pack import INVALID_BASE, encode_bases
 _BASES_U8 = np.frombuffer(b"ACGT", dtype=np.uint8)
 _SHIFTS = (2 * np.arange(32, dtype=np.uint64)).astype(np.uint64)
 
+_M6 = np.uint64(0x0303030303030303)
+_M4 = np.uint64(0x0C0C0C0C0C0C0C0C)
+_M2 = np.uint64(0x3030303030303030)
+_M0 = np.uint64(0xC0C0C0C0C0C0C0C0)
+
+
+def _reverse_2bit_groups(x: np.ndarray) -> np.ndarray:
+    """Reverse the 32 2-bit groups of each uint64: group g -> 31-g.
+
+    byteswap reverses byte order; the masked shifts reverse the four
+    groups inside each byte. Turns an LSB-first 32-base word into the
+    MSB-first packing in ~6 vectorized ops."""
+    x = x.byteswap()
+    return (
+        ((x & _M6) << np.uint64(6))
+        | ((x & _M4) << np.uint64(2))
+        | ((x & _M2) >> np.uint64(2))
+        | ((x & _M0) >> np.uint64(6))
+    )
+
 
 class SeqStore:
     """Packed sequence corpus: words[uint64], word offsets, base lengths."""
@@ -121,7 +141,7 @@ class SeqStore:
 
     # -- k-mer extraction (vectorized) --------------------------------------
 
-    def _kmer_acc(self, k: int) -> np.ndarray:
+    def _kmer_acc(self, k: int) -> np.ndarray:  # retained as a test oracle
         """acc[p] = MSB-first packed k-mer starting at padded position p
         (valid only where the window stays inside one unitig)."""
         codes = self.unpack()
@@ -146,11 +166,13 @@ class SeqStore:
 
     def all_kmers(self, k: int) -> tuple[np.ndarray, np.ndarray]:
         """(kmers, n_per_unitig): every forward-strand k-mer of every
-        unitig, concatenated in unitig order."""
-        acc = self._kmer_acc(k)
-        mask = self.kmer_start_mask(k)[: len(acc)]
+        unitig, concatenated in unitig order. Word-gather extraction at
+        the valid start positions (kmers_at) — ~5x faster than the
+        unpack + k-step shift-accumulate corpus scan it replaces."""
+        mask = self.kmer_start_mask(k)
+        pos = np.flatnonzero(mask)
         nk = np.maximum(self.lengths - k + 1, 0)
-        return acc[mask], nk
+        return self.kmers_at(pos, k), nk
 
     def kmers_at(self, upos: np.ndarray, k: int) -> np.ndarray:
         """MSB-first packed k-mer starting at each absolute padded base
@@ -168,12 +190,11 @@ class SeqStore:
             self.words[hi_idx] << ((np.uint64(64) - b) & np.uint64(63)),
         )
         val = lo | hi  # 32 bases LSB-first starting at upos
-        acc = np.zeros(len(upos), dtype=np.uint64)
-        for t in range(k):
-            acc = (acc << np.uint64(2)) | (
-                (val >> np.uint64(2 * t)) & np.uint64(3)
-            )
-        return acc
+        # MSB-first conversion in O(1) passes: reverse the 32 2-bit
+        # groups (byteswap + in-byte group swap), then drop the unused
+        # low groups — replaces the k-iteration shift-accumulate loop
+        # (k x 4 ops over the whole query array)
+        return _reverse_2bit_groups(val) >> np.uint64(2 * (32 - k))
 
     def head_kmers(self, k: int) -> np.ndarray:
         """First k-mer of each unitig (requires all lengths >= k)."""
@@ -228,3 +249,13 @@ class SeqView:
     def __iter__(self):
         # bulk path: iteration = output writing; decode once, vectorized
         return iter(self.store.decode_all())
+
+    def materialize(self) -> None:
+        """Decode the whole corpus into the cache in one vectorized
+        pass. Callers that will touch most unitigs (the analysis walk
+        reads entrance/exit/branch strings of ~every bubble) pay one
+        bulk decode instead of 100k+ per-unitig decode calls."""
+        if len(self._cache) >= len(self.store):
+            return
+        self._cap = max(self._cap, len(self.store) + 1)
+        self._cache = dict(enumerate(self.store.decode_all()))

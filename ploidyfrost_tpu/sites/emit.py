@@ -224,8 +224,13 @@ def collect_align_jobs(
     """
     jobs: list[_AlignJob] = []
     var_count = 0
+    candidates = np.flatnonzero(state.flags & 0x03)
+    if len(candidates) > len(g) // 8:
+        # the walk reads entrance/exit/branch strings of ~every bubble:
+        # one vectorized corpus decode beats per-unitig decode calls
+        g.seqs.materialize()
     # candidates: any unitig with a set pointer bit (not-visited strand)
-    for ui in np.flatnonzero(state.flags & 0x03):
+    for ui in candidates:
         ui = int(ui)
         while not state.is_both_visited(ui):
             if not state.is_plus_visited(ui):
