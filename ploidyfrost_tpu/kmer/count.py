@@ -85,6 +85,40 @@ def _extract_append(bhi, blo, nvalid, codes, fill, k):
     return bhi, blo, nvalid + jnp.sum(valid, dtype=jnp.int64)
 
 
+@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
+def _extract_append_pallas(bhi, blo, nvalid, codes, fill, k):
+    """_extract_append with the fused Pallas extraction kernel
+    (kmer/pallas_extract.py) supplying the (hi, lo) halves directly —
+    no 64-bit emulation on the TPU VPU. Selected by _extract_backend."""
+    from .pallas_extract import kernel_call
+
+    hi, lo = kernel_call(codes, k)
+    hi = hi.ravel()
+    lo = lo.ravel()
+    nv = jnp.sum(hi != jnp.uint32(SENT32), dtype=jnp.int64)
+    bhi = jax.lax.dynamic_update_slice(bhi, hi, (fill,))
+    blo = jax.lax.dynamic_update_slice(blo, lo, (fill,))
+    return bhi, blo, nvalid + nv
+
+
+def _extract_backend(codes_shape, k) -> bool:
+    """True when the Pallas extraction kernel should run: real TPU
+    backend, a kernel-supported (tile-divisible, VMEM-fitting) shape,
+    and not disabled via PLOIDYFROST_NO_PALLAS."""
+    import os
+
+    if os.environ.get("PLOIDYFROST_NO_PALLAS"):
+        return False
+    from .pallas_extract import supported
+
+    if not supported(codes_shape[0], codes_shape[1], k):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 @jax.jit
 def _split_u64(canon, valid):
     canon = canon.ravel()
@@ -277,8 +311,14 @@ class KmerCounter:
             return
         if self._fill + n > self._buf_cap:
             self.flush()
-        # fast path: fused pack+canon+append, one dispatch per batch
-        self._bhi, self._blo, self._n_valid_dev = _extract_append(
+        # fast path: fused pack+canon+append, one dispatch per batch;
+        # on TPU the extraction inside is the Pallas kernel
+        step = (
+            _extract_append_pallas
+            if _extract_backend(codes.shape, self.k)
+            else _extract_append
+        )
+        self._bhi, self._blo, self._n_valid_dev = step(
             self._bhi, self._blo, self._n_valid_dev, codes,
             jnp.int32(self._fill), self.k,
         )
