@@ -72,7 +72,17 @@ STAT_OVERFLOW = 5  # caps exceeded: host fallback
 
 @functools.lru_cache(maxsize=8)
 def _build_search(ms: int, mstk: int, max_steps: int):
-    """Compile the vmapped bounded-DFS search for given caps.
+    """Jitted single-device entry for the vmapped search."""
+    import jax
+
+    return jax.jit(_search_batched(ms, mstk, max_steps))
+
+
+@functools.lru_cache(maxsize=8)
+def _search_batched(ms: int, mstk: int, max_steps: int):
+    """Build the vmapped bounded-DFS search for given caps (unjitted —
+    parallel/sharded.py shard_maps this same callable over a device
+    mesh for the multi-chip search; seeds are embarrassingly parallel).
 
     The per-seed state updates are expressed entirely as one-hot
     where-masks over the fixed-size slot arrays — NO scatter ops. Under
@@ -228,15 +238,19 @@ def _build_search(ms: int, mstk: int, max_steps: int):
         return status.astype(jnp.uint8), psec, nseen.astype(jnp.uint8), \
             seen, cyc_mask
 
-    batched = jax.vmap(search_one, in_axes=(0, None))
-    return jax.jit(batched)
+    return jax.vmap(search_one, in_axes=(0, None))
 
 
-def search_seeds(g: CDBGraph, seeds: np.ndarray):
+def search_seeds(g: CDBGraph, seeds: np.ndarray, mesh=None):
     """Run the device search for every packed seed. Returns host numpy
     (status u8, psec i32, nseen u8, seen[<=MS] i32, cyc-bitmask u32)
     arrays in seed order; `seen` is column-trimmed to the batch's max
-    live slot count."""
+    live slot count.
+
+    With `mesh` (a jax.sharding.Mesh with axes data x shard), seeds
+    split over every device via the shard_mapped search
+    (parallel/sharded.build_sharded_search_step) — the multi-chip
+    analog of the reference's pthread pool (src/CDBG.cpp:1726-1777)."""
     import jax.numpy as jnp
 
     # pad the CSR successor array to a tiered unitig count: the search
@@ -258,6 +272,29 @@ def search_seeds(g: CDBGraph, seeds: np.ndarray):
     succ_padded = np.full((cap, 2, 4), -1, dtype=np.int32)
     succ_padded[:n] = g._succ
     succ_node = jnp.asarray(succ_padded)
+    if mesh is not None:
+        from ..parallel.sharded import build_sharded_search_step
+
+        fn = build_sharded_search_step(mesh)
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        per = -(-len(seeds) // n_dev)
+        per = 1 << max(per - 1, 0).bit_length()  # pow2: bounded compiles
+        total = per * n_dev
+        chunk = seeds.astype(np.int32)
+        if total > len(chunk):
+            chunk = np.concatenate(
+                [chunk, np.full(total - len(chunk), chunk[-1], np.int32)]
+            )
+        res = fn(jnp.asarray(chunk), succ_node)
+        nseen = np.asarray(res[2])[: len(seeds)]
+        mx = max(1, int(nseen.max()))
+        return [
+            np.asarray(res[0])[: len(seeds)],
+            np.asarray(res[1])[: len(seeds)],
+            nseen,
+            np.asarray(res[3][:, :mx])[: len(seeds)],
+            np.asarray(res[4])[: len(seeds)],
+        ]
     fn = _build_search(MAX_SEEN, MAX_STACK, MAX_STEPS)
     # chunk width: on accelerators ONE wide chunk (the vmapped
     # while_loop runs until its slowest lane finishes, so fewer chunks
@@ -532,7 +569,7 @@ def _replay_fast(
 
 
 def find_superbubbles_device(
-    g: CDBGraph, complex_size: int = 8, colors=None
+    g: CDBGraph, complex_size: int = 8, colors=None, mesh=None
 ) -> tuple[BubbleState, list]:
     """Drop-in replacement for superbubble.find_superbubbles: device
     search + host replay. Byte-identical outputs (tests/test_batched.py
@@ -555,7 +592,7 @@ def find_superbubbles_device(
     if len(seed_list) == 0:
         return state, []
 
-    status, psec, nseen, seen, cyc = search_seeds(g, seed_list)
+    status, psec, nseen, seen, cyc = search_seeds(g, seed_list, mesh)
 
     if colors is None:
         # flat-int replay: same transitions, no handle objects

@@ -335,3 +335,35 @@ def build_sharded_em_step(mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(step_sharded)
+
+
+def build_sharded_search_step(mesh: Mesh):
+    """Multi-chip superbubble search: the per-seed bounded DFS
+    (bubble/batched.search_one) shard_mapped over the FLATTENED mesh.
+
+    Seeds are embarrassingly parallel (the search reads only the CSR
+    adjacency, never shared state — src/CDBG.cpp:2643-2823 via the
+    batched kernel's docstring), so the seed axis splits across every
+    device; the successor table is replicated. Outputs keep the seed
+    sharding, so fetching them to the host IS the all-gather — the host
+    replay (bubble/batched._replay_fast) then runs unchanged, keeping
+    mesh-shape byte-invariance (tests/test_mesh_invariance.py).
+
+    Maps the reference's pthread work distribution
+    (findSuperBubble_multithread_ptr, src/CDBG.cpp:1707-1871) onto the
+    data-parallel mesh axis per SURVEY §2e row 1.
+    """
+    from jax import shard_map
+
+    from ..bubble.batched import MAX_SEEN, MAX_STACK, MAX_STEPS, _search_batched
+
+    batched = _search_batched(MAX_SEEN, MAX_STACK, MAX_STEPS)
+    axes = ("data", "shard")
+    step = shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(P(axes), P(None, None, None)),
+        out_specs=(P(axes), P(axes), P(axes), P(axes, None), P(axes)),
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -49,8 +49,9 @@ def _make_batches():
     return batches
 
 
-def _run_pipeline(km, ct, outdir, outpre):
-    """graph -> bubbles -> sites -> tables from a (kmers, counts) table."""
+def _run_pipeline(km, ct, outdir, outpre, mesh=None):
+    """graph -> bubbles -> sites -> tables from a (kmers, counts) table.
+    With `mesh`, the superbubble search runs shard_mapped over it."""
     from ploidyfrost_tpu.bubble.batched import find_superbubbles_device
     from ploidyfrost_tpu.bubble.superbubble import write_superbubble_file
     from ploidyfrost_tpu.graph.construct import build_graph_from_kmers
@@ -64,7 +65,7 @@ def _run_pipeline(km, ct, outdir, outpre):
     try:
         g = build_graph_from_kmers(km[ct >= 3], K)
         db = KmerCountDB(km, ct, K)
-        state, bubbles = find_superbubbles_device(g, 8)
+        state, bubbles = find_superbubbles_device(g, 8, mesh=mesh)
         os.makedirs("PloidyFrost_output", exist_ok=True)
         write_superbubble_file(g, bubbles, outpre)
         ucov, umin = unitig_coverage(db, g)
@@ -98,7 +99,8 @@ def test_pipeline_outputs_mesh_invariant(tmp_path, shape):
     assert n_inst == ref.total_kmers
 
     _run_pipeline(km1, ct1, str(tmp_path / "single"), "o")
-    _run_pipeline(km2, ct2, str(tmp_path / "mesh"), "o")
+    # sharded search over the same mesh: byte-identical tables required
+    _run_pipeline(km2, ct2, str(tmp_path / "mesh"), "o", mesh=mesh)
     for t in TABLES:
         a = (tmp_path / "single" / "PloidyFrost_output" / f"o_{t}.txt").read_bytes()
         b = (tmp_path / "mesh" / "PloidyFrost_output" / f"o_{t}.txt").read_bytes()
