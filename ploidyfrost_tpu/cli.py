@@ -359,7 +359,11 @@ def _extract_trim(argv):
         if a == "--trim":
             trim = TrimConfig()
         elif a.startswith("--trim="):
-            trim = TrimConfig.parse(a[len("--trim=") :])
+            try:
+                trim = TrimConfig.parse(a[len("--trim=") :])
+            except ValueError as e:
+                # friendly CLI error, not a traceback
+                raise SystemExit(f"Error: {e}") from None
         else:
             out.append(a)
     return out, trim
@@ -388,6 +392,19 @@ def main(argv=None) -> int:
     if not argv:
         print(__doc__)
         return 0
+    try:
+        return _dispatch(argv)
+    except ValueError as e:
+        if str(e).startswith("Invalid option"):
+            # reference behavior: "Invalid option" + usage + clean exit
+            # (src/Main.cpp:193-197)
+            print("Invalid option")
+            print(__doc__)
+            return 1
+        raise
+
+
+def _dispatch(argv) -> int:
     cmd = argv[0]
     if cmd == "model":
         return cmd_model(argv[1:])

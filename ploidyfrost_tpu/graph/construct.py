@@ -255,6 +255,76 @@ def _rank_chains(nxt_node: np.ndarray):
     return np.argsort(key, kind="stable"), headof
 
 
+def _links_junctions_fast(
+    km: np.ndarray, rc: np.ndarray, k: int
+) -> np.ndarray:
+    """_links_junctions via the native radix-sort kernel
+    (native/construct_kernels.cpp) when available; identical semantics
+    including the palindromic-junction probe fallback."""
+    from ..native import load_construct_library
+
+    lib = load_construct_library()
+    if lib is None:
+        return _links_junctions(km, rc, k)
+    import ctypes
+
+    n = len(km)
+    nxt = np.full(2 * n, -1, dtype=np.int64)
+    pal = np.zeros(2 * n, dtype=np.uint8)
+
+    def u64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    lib.pf_link_junctions(
+        u64p(np.ascontiguousarray(km)),
+        u64p(np.ascontiguousarray(rc)),
+        ctypes.c_int64(n),
+        ctypes.c_int32(k),
+        nxt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pal.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if pal.any():
+        probe_links = _links_probes(km, rc, k)
+        pal_nodes = np.flatnonzero(pal)
+        nxt[pal_nodes] = probe_links[pal_nodes]
+        tgt = nxt[pal_nodes]
+        valid = tgt >= 0
+        nxt[(tgt[valid] ^ 1)] = probe_links[tgt[valid] ^ 1]
+    return nxt
+
+
+def _rank_chains_fast(nxt_node: np.ndarray):
+    """(order, chain_start) via the native O(n) walk
+    (native/chain_rank.cpp) when available, else the numpy
+    pointer-doubling path. Chain ORDER may differ between the two —
+    assembly is chain-order-independent (the final unitig order is the
+    separate lexicographic sort) — grouping and walk order are
+    identical (tests/test_construct.py cross-checks)."""
+    from ..native import load_chain_library
+
+    lib = load_chain_library()
+    if lib is not None and len(nxt_node):
+        import ctypes
+
+        n2 = len(nxt_node)
+        nxt = np.ascontiguousarray(nxt_node, dtype=np.int64)
+        order = np.empty(n2, dtype=np.int64)
+        chain_start = np.zeros(n2, dtype=np.uint8)
+        lib.pf_chain_rank(
+            nxt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n2),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            chain_start.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return order, chain_start.astype(bool)
+    order, headof = _rank_chains(nxt_node)
+    sorted_heads = headof[order]
+    chain_start = np.concatenate(
+        [[True], sorted_heads[1:] != sorted_heads[:-1]]
+    )
+    return order, chain_start
+
+
 def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
     """Compact a sorted distinct canonical k-mer set into unitigs."""
     km = np.asarray(kmers, dtype=np.uint64)
@@ -263,12 +333,8 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
         return CDBGraph([], k)
     rc = _revcomp_np(km, k)
 
-    nxt_node = _links_junctions(km, rc, k)
-    order, headof = _rank_chains(nxt_node)
-    sorted_heads = headof[order]
-    chain_start = np.concatenate(
-        [[True], sorted_heads[1:] != sorted_heads[:-1]]
-    )
+    nxt_node = _links_junctions_fast(km, rc, k)
+    order, chain_start = _rank_chains_fast(nxt_node)
     starts = np.flatnonzero(chain_start)
     ends = np.append(starts[1:], len(order))
 
@@ -285,6 +351,40 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
     if nc == 0:
         return CDBGraph([], k)
     lengths = k + m - 1  # unitig base length
+
+    from ..native import load_construct_library
+
+    lib = load_construct_library()
+    if lib is not None:
+        # native assembly: decode + canonicalize + pack in one C pass
+        import ctypes
+
+        from .seqstore import SeqStore
+
+        nwords = (lengths + 31) // 32
+        off_w = np.zeros(nc + 1, dtype=np.int64)
+        np.cumsum(nwords, out=off_w[1:])
+        words = np.zeros(int(off_w[-1]), dtype=np.uint64)
+
+        def i64p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+        def u64p(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+        lib.pf_assemble_unitigs(
+            i64p(np.ascontiguousarray(order)),
+            i64p(np.ascontiguousarray(kstarts)),
+            i64p(np.ascontiguousarray(kends)),
+            ctypes.c_int64(nc),
+            u64p(np.ascontiguousarray(km)),
+            u64p(np.ascontiguousarray(rc)),
+            ctypes.c_int32(k),
+            u64p(words),
+            i64p(off_w),
+        )
+        store = SeqStore(words, off_w, lengths)
+        return CDBGraph(store.reorder(_lex_perm(store)), k)
     off_b = np.zeros(nc + 1, dtype=np.int64)
     np.cumsum(lengths, out=off_b[1:])
     codes = np.empty(int(off_b[-1]), dtype=np.uint8)
@@ -327,10 +427,53 @@ def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
     from .seqstore import SeqStore
 
     store = SeqStore.from_codes(codes, lengths)
-    # deterministic order: lexicographic over the decoded corpus
-    strs = store.decode_all()
-    perm = sorted(range(nc), key=strs.__getitem__)
-    return CDBGraph(store.reorder(np.array(perm, dtype=np.int64)), k)
+    return CDBGraph(store.reorder(_lex_perm(store)), k)
+
+
+def _lex_perm(store) -> np.ndarray:
+    """Deterministic unitig order: lexicographic over the decoded
+    corpus — computed on the PACKED words (three 32-base MSB-first u64
+    keys + length), not by decoding strings and sorting in Python.
+
+    'A'-padding inside a partial key word plus the ascending-length
+    tie-break reproduces string prefix ordering exactly for any pair
+    decided within 96 bases; the rare pairs still tied there (both
+    > 96 bases, identical 96-prefix) are resolved by decoding just
+    those groups."""
+    from .seqstore import _reverse_2bit_groups
+
+    n = len(store)
+    nw = (store.lengths + 31) // 32
+    w0 = store.off_w[:-1]
+    keys = []
+    for t in range(3):
+        idx = np.minimum(w0 + t, len(store.words) - 1) if len(store.words) else w0
+        w = np.where(nw > t, store.words[idx], np.uint64(0)) if len(
+            store.words
+        ) else np.zeros(n, np.uint64)
+        keys.append(_reverse_2bit_groups(np.ascontiguousarray(w)))
+    perm = np.lexsort((store.lengths, keys[2], keys[1], keys[0]))
+    k0, k1, k2 = (k[perm] for k in keys)
+    ls = store.lengths[perm]
+    tied = (
+        (k0[1:] == k0[:-1])
+        & (k1[1:] == k1[:-1])
+        & (k2[1:] == k2[:-1])
+        & (ls[1:] > 96)
+        & (ls[:-1] > 96)
+    )
+    if tied.any():
+        # resolve >96-base ties by decoding just those runs
+        bounds = np.flatnonzero(
+            np.diff(np.concatenate([[False], tied, [False]]).astype(np.int8))
+        ).reshape(-1, 2)
+        for a, b in bounds:
+            grp = perm[a : b + 1]
+            strs = [store.decode(int(i)) for i in grp]
+            perm[a : b + 1] = grp[
+                np.array(sorted(range(len(grp)), key=strs.__getitem__))
+            ]
+    return perm
 
 
 def simplify(g: CDBGraph, k: int) -> CDBGraph:

@@ -59,18 +59,42 @@ def iter_sequences(path: str) -> Iterator[bytes]:
             if seq_parts:
                 yield b"".join(seq_parts)
         elif first == b"@":
-            # FASTQ: 4-line records
-            while True:
-                hdr = f.readline()
-                if not hdr:
-                    break
-                seq = f.readline().rstrip()
-                f.readline()  # +
-                f.readline()  # qual
-                if seq:
-                    yield seq
+            for seq, _ in _iter_fastq(f):
+                yield seq
         else:
             raise ValueError(f"unrecognized FASTX format in {path}")
+
+
+def _iter_fastq(f) -> Iterator[tuple[bytes, bytes]]:
+    """kseq-style FASTQ records: sequence lines accumulate until the
+    '+' separator, quality lines until they cover the sequence length —
+    multi-line FASTQ parses correctly, not just 4-line records
+    (bifrost/src/kseq.h semantics)."""
+    while True:
+        hdr = f.readline()
+        if not hdr:
+            return
+        if not hdr.rstrip():
+            # blank line between records (e.g. the unconsumed empty
+            # quality line of a zero-length read)
+            continue
+        seq_parts: list[bytes] = []
+        line = f.readline()
+        while line and not line.startswith(b"+"):
+            seq_parts.append(line.rstrip())
+            line = f.readline()
+        seq = b"".join(seq_parts)
+        qual_parts: list[bytes] = []
+        qlen = 0
+        while qlen < len(seq):
+            line = f.readline()
+            if not line:
+                break
+            part = line.rstrip()
+            qual_parts.append(part)
+            qlen += len(part)
+        if seq:
+            yield seq, b"".join(qual_parts)
 
 
 def iter_sequences_with_qual(path: str) -> Iterator[tuple[bytes, bytes | None]]:
@@ -79,15 +103,7 @@ def iter_sequences_with_qual(path: str) -> Iterator[tuple[bytes, bytes | None]]:
     with _open(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         if first == b"@":
-            while True:
-                hdr = f.readline()
-                if not hdr:
-                    break
-                seq = f.readline().rstrip()
-                f.readline()  # +
-                qual = f.readline().rstrip()
-                if seq:
-                    yield seq, qual
+            yield from _iter_fastq(f)
             return
     for seq in iter_sequences(path):
         yield seq, None
@@ -227,4 +243,11 @@ def read_batches(
     if trim is None and load_library() is not None:
         yield from read_batches_native(paths, k, batch_reads, max_len)
     else:
+        if trim is not None and load_library() is not None:
+            print(
+                "read_batches: quality trimming enabled - using the "
+                "Python reader (the native loader discards quality "
+                "lines)",
+                flush=True,
+            )
         yield from read_batches_py(paths, k, batch_reads, max_len, trim=trim)

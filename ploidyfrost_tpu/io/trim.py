@@ -51,17 +51,25 @@ class TrimConfig:
         for step in filter(None, spec.split(",")):
             parts = step.split(":")
             name = parts[0].upper()
-            if name == "LEADING":
-                cfg["leading"] = int(parts[1])
-            elif name == "TRAILING":
-                cfg["trailing"] = int(parts[1])
-            elif name == "SLIDINGWINDOW":
-                cfg["window"] = int(parts[1])
-                cfg["window_quality"] = int(parts[2])
-            elif name == "MINLEN":
-                cfg["minlen"] = int(parts[1])
-            else:
-                raise ValueError(f"unknown trim step: {step}")
+            try:
+                if name == "LEADING":
+                    cfg["leading"] = int(parts[1])
+                elif name == "TRAILING":
+                    cfg["trailing"] = int(parts[1])
+                elif name == "SLIDINGWINDOW":
+                    cfg["window"] = int(parts[1])
+                    cfg["window_quality"] = int(parts[2])
+                elif name == "MINLEN":
+                    cfg["minlen"] = int(parts[1])
+                else:
+                    raise ValueError(f"unknown trim step: {step}")
+            except (IndexError, ValueError) as e:
+                if "unknown trim step" in str(e):
+                    raise
+                raise ValueError(
+                    f"malformed trim step: {step!r} (expected e.g. "
+                    f"LEADING:10 or SLIDINGWINDOW:3:20)"
+                ) from None
         return cls(**cfg)
 
 
@@ -85,17 +93,23 @@ def trim_read(seq: bytes, qual: bytes | None, cfg: TrimConfig) -> bytes:
         hi = lo + int(good[-1]) + 1 if len(good) else lo
 
     w, wq = cfg.window, cfg.window_quality
-    if w > 0 and hi - lo >= w:
-        win = q[lo:hi].astype(np.float64)
-        csum = np.concatenate(([0.0], np.cumsum(win)))
-        means = (csum[w:] - csum[:-w]) / w  # mean of each window start
-        bad = np.nonzero(means < wq)[0]
-        if len(bad):
-            cut = int(bad[0])
-            # extend through individually-good bases at the cut point
-            while cut < hi - lo and win[cut] >= wq:
-                cut += 1
-            hi = lo + cut
+    if w > 0:
+        if hi - lo < w:
+            # Trimmomatic's SlidingWindowTrimmer drops reads shorter
+            # than the window outright (masked in the pipeline defaults
+            # by MINLEN:50 >> window 3, but observable otherwise)
+            hi = lo
+        else:
+            win = q[lo:hi].astype(np.float64)
+            csum = np.concatenate(([0.0], np.cumsum(win)))
+            means = (csum[w:] - csum[:-w]) / w  # mean per window start
+            bad = np.nonzero(means < wq)[0]
+            if len(bad):
+                cut = int(bad[0])
+                # extend through individually-good bases at the cut
+                while cut < hi - lo and win[cut] >= wq:
+                    cut += 1
+                hi = lo + cut
 
     if hi - lo < cfg.minlen:
         return b""

@@ -130,6 +130,46 @@ def _load_simple(src_name: str, lib_name: str, state: dict, sig):
 
 _nw_state: dict = {}
 _lookup_state: dict = {}
+_chain_state: dict = {}
+
+
+_construct_state: dict = {}
+
+
+def load_construct_library():
+    """Return the loaded construction-kernels library, or None
+    (fallback to the numpy paths in graph/construct.py)."""
+
+    def sig(lib):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pf_link_junctions.argtypes = [
+            u64p, u64p, ctypes.c_int64, ctypes.c_int32, i64p, u8p,
+        ]
+        lib.pf_link_junctions.restype = None
+        lib.pf_assemble_unitigs.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64,
+            u64p, u64p, ctypes.c_int32, u64p, i64p,
+        ]
+        lib.pf_assemble_unitigs.restype = None
+
+    return _load_simple(
+        "construct_kernels.cpp", "libpfconstruct.so", _construct_state, sig
+    )
+
+
+def load_chain_library():
+    """Return the loaded chain-rank library, or None (fallback to the
+    numpy pointer-doubling path in graph/construct.py)."""
+
+    def sig(lib):
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pf_chain_rank.argtypes = [i64p, ctypes.c_int64, i64p, u8p]
+        lib.pf_chain_rank.restype = None
+
+    return _load_simple("chain_rank.cpp", "libpfchain.so", _chain_state, sig)
 
 
 def load_nw_library():

@@ -1,0 +1,155 @@
+// Construction kernels (C ABI): junction linking + unitig assembly.
+//
+// Native counterparts of graph/construct._links_junctions and the
+// chain->packed-unitig assembly in build_graph_from_kmers. The numpy
+// versions stay as oracles/fallbacks; tests/test_construct.py asserts
+// equivalence on random k-mer sets. Both are memory-bound scans that a
+// C loop runs ~6x faster than the vectorized-numpy multi-pass
+// formulation at 12M-node scale (the reference's counterpart is
+// Bifrost's multithreaded hash-walk construction,
+// bifrost/src/CompactedDBG.tcc:2994-3320).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline uint64_t revcomp64(uint64_t x, int32_t k) {
+  x = ~x;
+  x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+  x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+  x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+  x = ((x >> 16) & 0x0000FFFF0000FFFFULL) |
+      ((x & 0x0000FFFF0000FFFFULL) << 16);
+  x = (x >> 32) | (x << 32);
+  return x >> (64 - 2 * k);
+}
+
+// LSD radix sort of (key, idx) pairs by the low `bits` bits of key.
+void radix_sort(std::vector<uint64_t>& keys, std::vector<int64_t>& idx,
+                int bits) {
+  const size_t n = keys.size();
+  std::vector<uint64_t> kbuf(n);
+  std::vector<int64_t> ibuf(n);
+  size_t count[256];
+  for (int shift = 0; shift < bits; shift += 8) {
+    std::memset(count, 0, sizeof(count));
+    for (size_t i = 0; i < n; ++i) count[(keys[i] >> shift) & 255]++;
+    size_t pos = 0;
+    size_t starts[256];
+    for (int b = 0; b < 256; ++b) {
+      starts[b] = pos;
+      pos += count[b];
+    }
+    for (size_t i = 0; i < n; ++i) {
+      const size_t d = starts[(keys[i] >> shift) & 255]++;
+      kbuf[d] = keys[i];
+      ibuf[d] = idx[i];
+    }
+    keys.swap(kbuf);
+    idx.swap(ibuf);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Junction-sort unitig-interior linking. nxt_node[2n] must arrive
+// filled with -1 and pal_mark[2n] zeroed; palindromic-junction stubs
+// are marked for the caller's exact probe fallback.
+void pf_link_junctions(const uint64_t* km, const uint64_t* rc, int64_t n,
+                       int32_t k, int64_t* nxt_node, uint8_t* pal_mark) {
+  const int32_t kj = k - 1;
+  const uint64_t mask_j = (kj >= 32) ? ~0ULL : ((1ULL << (2 * kj)) - 1);
+  const int64_t n2 = 2 * n;
+  std::vector<uint64_t> jc(n2);
+  std::vector<uint8_t> pol(n2), pal(n2);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t s0 = km[i] & mask_j;
+    const uint64_t s1 = rc[i] & mask_j;
+    const uint64_t r0 = revcomp64(s0, kj);
+    const uint64_t r1 = revcomp64(s1, kj);
+    jc[2 * i] = s0 < r0 ? s0 : r0;
+    jc[2 * i + 1] = s1 < r1 ? s1 : r1;
+    pol[2 * i] = s0 == jc[2 * i];
+    pol[2 * i + 1] = s1 == jc[2 * i + 1];
+    pal[2 * i] = s0 == r0;
+    pal[2 * i + 1] = s1 == r1;
+  }
+  std::vector<int64_t> idx(n2);
+  for (int64_t i = 0; i < n2; ++i) idx[i] = i;
+  std::vector<uint64_t> keys = jc;
+  radix_sort(keys, idx, 2 * kj);
+  int64_t i = 0;
+  while (i < n2) {
+    int64_t j = i + 1;
+    while (j < n2 && keys[j] == keys[i]) ++j;
+    int nf = 0, nr = 0;
+    bool has_pal = false;
+    for (int64_t t = i; t < j; ++t) {
+      const int64_t node = idx[t];
+      if (pal[node]) has_pal = true;
+      if (pol[node])
+        ++nf;
+      else
+        ++nr;
+    }
+    if (has_pal) {
+      for (int64_t t = i; t < j; ++t) pal_mark[idx[t]] = 1;
+    } else if (nf == 1 && nr == 1) {
+      int64_t a = -1, b = -1;
+      for (int64_t t = i; t < j; ++t) {
+        if (pol[idx[t]])
+          a = idx[t];
+        else
+          b = idx[t];
+      }
+      if ((a >> 1) != (b >> 1)) {
+        nxt_node[a] = b ^ 1;
+        nxt_node[b] = a ^ 1;
+      }
+    }
+    i = j;
+  }
+}
+
+// Assemble kept chains into canonical packed unitig words.
+// order/starts/ends: chain layout from pf_chain_rank (kept chains
+// only); words: zero-filled off_w[nc] words; per-unitig layout is
+// 32 LSB-first bases per word (SeqStore.from_codes).
+void pf_assemble_unitigs(const int64_t* order, const int64_t* starts,
+                         const int64_t* ends, int64_t nc, const uint64_t* km,
+                         const uint64_t* rc, int32_t k, uint64_t* words,
+                         const int64_t* off_w) {
+  std::vector<uint8_t> buf, rbuf;
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t s = starts[c], e = ends[c];
+    const int64_t len = k + (e - s) - 1;
+    buf.resize(len);
+    const int64_t head = order[s];
+    const uint64_t v0 = (head & 1) ? rc[head >> 1] : km[head >> 1];
+    for (int32_t t = 0; t < k; ++t)
+      buf[t] = (uint8_t)((v0 >> (2 * (k - 1 - t))) & 3);
+    for (int64_t p = s + 1; p < e; ++p) {
+      const int64_t node = order[p];
+      const uint64_t v = (node & 1) ? rc[node >> 1] : km[node >> 1];
+      buf[k + (p - s) - 1] = (uint8_t)(v & 3);
+    }
+    // canonical form: min(seq, revcomp)
+    rbuf.resize(len);
+    for (int64_t p = 0; p < len; ++p) rbuf[p] = (uint8_t)(3 - buf[len - 1 - p]);
+    const uint8_t* src = buf.data();
+    for (int64_t p = 0; p < len; ++p) {
+      if (rbuf[p] != buf[p]) {
+        if (rbuf[p] < buf[p]) src = rbuf.data();
+        break;
+      }
+    }
+    uint64_t* w = words + off_w[c];
+    for (int64_t p = 0; p < len; ++p)
+      w[p >> 5] |= ((uint64_t)src[p]) << (2 * (p & 31));
+  }
+}
+}

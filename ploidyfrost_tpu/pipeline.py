@@ -48,7 +48,10 @@ def load_count_db(path: str, k: int):
 
 def unitig_coverage(db, g):
     """Batched readCov(u) for every unitig (src/CDBG.cpp:66-120): mean
-    and min k-mer count per unitig, resolved in one device gather.
+    and min k-mer count per unitig, resolved in one bulk probe batch
+    against the sorted table (host-side by design: the probes are
+    latency-bound and measured faster on host than via device
+    round-trips — see kmer/countdb.py).
 
     The k-mer feed comes straight from the packed SeqStore (vectorized
     extraction, graph/seqstore.py) — no per-unitig string walks."""
@@ -199,8 +202,10 @@ def run_colored_analysis(opt) -> int:
     write_superbubble_file(g, bubbles, opt.outprefix)
     _log(f"CCDBG::findSuperBubble(): Real time : {time.time() - t0}s")
     _log(f"CCDBG::findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
-    if opt.bubble:
-        return 0
+    # reference parity: check_ProgramOptions FORCES bubble=true and p
+    # defaults true with no way to unset, so a run always continues to
+    # ploidyEstimation; -b is accepted but changes nothing
+    # (src/Main.cpp:463, 92-120, 836-850)
 
     _log(
         "CCDBG::PloidyEstimation():  Analyzing superbubbles to generate sites' information"
@@ -269,8 +274,7 @@ def run_analysis(opt) -> int:
     write_superbubble_file(g, bubbles, opt.outprefix)
     _log(f"findSuperBubble(): Real time : {time.time() - t0}s")
     _log(f"findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
-    if opt.bubble:
-        return 0
+    # reference parity: -b never stops the run (see run_colored_analysis)
 
     _log("PloidyEstimation(): Analyzing superbubbles to generate sites' information")
     t0 = time.time()

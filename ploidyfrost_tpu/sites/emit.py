@@ -14,7 +14,10 @@ Here coverage resolution is split out of the loop:
          and k-length window strings — recording *pending* rows that
          reference coverage by unitig id / window string;
   batch:  ALL unitig coverages and ALL window strings resolve in a
-         handful of device `searchsorted` gathers (kmer/countdb.py);
+         handful of bulk probe batches against the sorted count table
+         (kmer/countdb.py — native bucketed binary search on host:
+         measured faster than device round-trips for these
+         latency-bound probes);
   pass 2 (host): apply the reference's bounds gates and write rows in
          the original sequential order.
 

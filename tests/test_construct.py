@@ -200,3 +200,79 @@ def test_junction_links_match_probe_links_genome_like():
             _links_junctions(km, rc, k), _links_probes(km, rc, k),
             err_msg=f"k={k}",
         )
+
+
+def test_lex_perm_matches_string_sort():
+    """Packed-key lexicographic order == decoded-string sort, including
+    >96-base prefix ties."""
+    from ploidyfrost_tpu.graph.construct import _lex_perm
+    from ploidyfrost_tpu.graph.seqstore import SeqStore
+
+    rng = np.random.default_rng(17)
+    bases = "ACGT"
+    seqs = []
+    for _ in range(300):
+        L = int(rng.integers(25, 140))
+        seqs.append("".join(rng.choice(list(bases), L)))
+    # adversarial: shared 100-base prefixes with divergent / absent tails
+    pre = "".join(rng.choice(list(bases), 100))
+    seqs += [pre, pre + "A", pre + "T", pre + "AC", pre[:97], pre[:96]]
+    store = SeqStore.from_strings(seqs)
+    perm = _lex_perm(store)
+    want = sorted(range(len(seqs)), key=seqs.__getitem__)
+    assert list(perm) == want
+
+
+def test_chain_rank_native_matches_numpy():
+    """Native chain walk groups/orders chains identically to the numpy
+    pointer-doubling path (chain order may differ; compare as sets of
+    chain tuples)."""
+    from ploidyfrost_tpu.graph.construct import (
+        _rank_chains,
+        _rank_chains_fast,
+    )
+    from ploidyfrost_tpu.native import load_chain_library
+
+    if load_chain_library() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n = int(rng.integers(2, 200)) * 2
+        nxt = np.full(n, -1, dtype=np.int64)
+        # random partial successor links incl. chains and cycles
+        src = rng.choice(n, size=n // 2, replace=False)
+        dst = rng.choice(n, size=n // 2, replace=False)
+        nxt[src] = dst
+        # dedupe multi-predecessors (the linker never produces them)
+        _, first = np.unique(nxt[nxt >= 0], return_index=True)
+        keep = np.flatnonzero(nxt >= 0)[np.sort(first)]
+        clean = np.full(n, -1, dtype=np.int64)
+        clean[keep] = nxt[keep]
+
+        def chains(order, start):
+            out = []
+            cur = []
+            for node, s in zip(order, start):
+                if s and cur:
+                    out.append(tuple(cur))
+                    cur = []
+                cur.append(int(node))
+            if cur:
+                out.append(tuple(cur))
+            return out
+
+        o1, s1 = _rank_chains_fast(clean.copy())
+        # numpy fallback path
+        import ploidyfrost_tpu.graph.construct as C
+
+        lib = C.load_chain_library if False else None
+        from ploidyfrost_tpu.graph.construct import _rank_chains
+
+        o2, h2 = _rank_chains(clean.copy())
+        sh = h2[o2]
+        s2 = np.concatenate([[True], sh[1:] != sh[:-1]])
+        c1 = chains(o1, s1)
+        c2 = chains(o2, s2)
+        # cycles may be broken at different nodes only if numpy picked a
+        # different entry; both break at the min node id, so exact match
+        assert sorted(c1) == sorted(c2), trial
