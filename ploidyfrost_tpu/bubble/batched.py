@@ -48,9 +48,6 @@ from ..graph.cdbg import CDBGraph, UnitigHandle
 from .superbubble import (
     NULL,
     BubbleState,
-    _register_bubble,
-    _set_no_bubble_all,
-    _set_no_bubble_cycle,
     extract_superbubble,
     list_bubbles,
 )
@@ -348,15 +345,26 @@ def _replay_fast(
     seen,
     cyc,
     complex_size: int,
+    colors=None,
 ):
-    """Uncolored replay of the recorded search outcomes, in flat-int
-    form: identical state transitions to the UnitigHandle-based loop
+    """Replay of the recorded search outcomes, in flat-int form:
+    identical state transitions to the UnitigHandle-based loop
     (see _register_bubble / _set_no_bubble_* in superbubble.py, which
     mirror src/CDBG.cpp:552-846) but ~100x faster — plain Python ints
     over list-backed state, no handle objects, no method dispatch.
     tests/test_batched.py cross-validates both paths on random graphs.
-    """
+
+    With `colors`, the colored registration gates
+    (src/CCDBG.cpp:1450-1812 via superbubble._register_bubble) run on
+    three precomputed arrays (ColorMatrix.gate_arrays) — per-unitig
+    color-pair counts, full-unitig membership masks, and k-mer counts —
+    instead of per-bubble ColorMatrix row slicing."""
     n = len(state.flags)
+    if colors is not None:
+        csizes, ccontains, cnkm = colors.gate_arrays()
+        csizes_l = csizes.tolist()
+        cnkm_l = cnkm.tolist()
+        C = colors.n_colors
     flags = state.flags.tolist()
     plus = state.plus.tolist()
     minus = state.minus.tolist()
@@ -426,7 +434,8 @@ def _replay_fast(
             state.plus = np.array(plus, dtype=np.int64)
             state.minus = np.array(minus, dtype=np.int64)
             extract_superbubble(
-                g, state, UnitigHandle(g, i, bool(strand)), complex_size
+                g, state, UnitigHandle(g, i, bool(strand)), complex_size,
+                colors,
             )
             flags = state.flags.tolist()
             plus = state.plus.tolist()
@@ -550,6 +559,55 @@ def _replay_fast(
                 x = p >> 1
                 detach_and_self(x)
                 flags[x] |= 0x04
+            if colors is not None:
+                # colored registration gates (the flat form of
+                # superbubble._register_bubble's colors block, matching
+                # src/CCDBG.cpp uniform-color + successor-coverage rules)
+                def endpoints_self():
+                    if strand:
+                        set_plus_self(i)
+                    else:
+                        set_minus_self(i)
+                    if not jstrand:
+                        set_plus_self(j)
+                    else:
+                        set_minus_self(j)
+
+                f = True
+                if csizes_l[i] != cnkm_l[i] * C:
+                    f = False
+                    flags[i] |= 0x04
+                    endpoints_self()
+                if colors.size_as_flat(j, cnkm_l[i]) != cnkm_l[j] * C:
+                    f = False
+                    flags[j] |= 0x04
+                    endpoints_self()
+                if f:
+                    all_mask = np.ones(C, dtype=bool)
+                    required = {i: all_mask, j: all_mask}
+                    for slot in range(ns):
+                        p = row[slot]
+                        if p == pj:
+                            continue
+                        x = p >> 1
+                        xs = p & 1
+                        req = required.get(x)
+                        if req is None:
+                            req = ccontains[x]
+                            required[x] = req
+                        suc_any = np.zeros(C, dtype=bool)
+                        base = x * 8 + xs * 4
+                        for b in range(4):
+                            sk = succ[base + b]
+                            if sk >= 0:
+                                suc_any |= ccontains[sk >> 1]
+                        if (req & ~suc_any).any():
+                            f = False
+                            break
+                    if not f:
+                        endpoints_self()
+                if not f:
+                    continue
             if strand:
                 plus[i] = j
                 flags[i] |= 0x01
@@ -594,46 +652,10 @@ def find_superbubbles_device(
 
     status, psec, nseen, seen, cyc = search_seeds(g, seed_list, mesh)
 
-    if colors is None:
-        # flat-int replay: same transitions, no handle objects
-        _replay_fast(
-            g, state, seed_list, status, psec, nseen, seen, cyc, complex_size
-        )
-        return state, list_bubbles(state, n, colors)
-
-    # ---- host replay in seed order (colored: color gates need the
-    # ColorMatrix, keep the handle-based path) ---------------------------
-    for si in range(len(seed_list)):
-        s_packed = int(seed_list[si])
-        i, strand = s_packed >> 1, bool(s_packed & 1)
-        if state.get_ptr(i, strand) != NULL:
-            continue  # claimed by an earlier registration
-        stt = int(status[si])
-        if stt == STAT_NONE:
-            continue
-        sh = UnitigHandle(g, i, strand)
-        if stt == STAT_OVERFLOW:
-            extract_superbubble(g, state, sh, complex_size, colors)
-            continue
-        ns = int(nseen[si])
-        if stt == STAT_STALL_CYCLE:
-            # cycle-set cleanup (src/CDBG.cpp:2813-2822)
-            for slot in range(ns):
-                if (int(cyc[si]) >> slot) & 1:
-                    state.detach_and_self(int(seen[si, slot]) >> 1)
-                    state.set_non_super(int(seen[si, slot]) >> 1)
-            state.set_self(i, strand)
-            continue
-        vec = [
-            UnitigHandle(g, int(p) >> 1, bool(p & 1))
-            for p in seen[si, :ns]
-        ]
-        ph = UnitigHandle(g, int(psec[si]) >> 1, bool(int(psec[si]) & 1))
-        if stt == STAT_CYCLE_EXIT:
-            _set_no_bubble_cycle(state, vec, sh, ph)
-        elif stt == STAT_ABORT:
-            _set_no_bubble_all(state, vec, sh, ph)
-        else:  # STAT_BUBBLE
-            _register_bubble(g, state, vec, sh, ph, complex_size, colors)
-
+    # flat-int replay: same transitions, no handle objects; the colored
+    # registration gates run on precomputed ColorMatrix arrays
+    _replay_fast(
+        g, state, seed_list, status, psec, nseen, seen, cyc, complex_size,
+        colors,
+    )
     return state, list_bubbles(state, n, colors)

@@ -105,6 +105,41 @@ class ColorMatrix:
         """int[C]: per-color number of colored k-mers of unitig ui."""
         return self.unitig_bits(ui).sum(axis=0)
 
+    def gate_arrays(self):
+        """Vectorized per-unitig gate inputs for the flat colored
+        replay (bubble/batched._replay_fast): (sizes int64[n],
+        contains_all bool[n, C], n_kmers int64[n]) — size(ui),
+        full-unitig color membership, and k-mer counts for every unitig
+        in three reduceat passes. Cached."""
+        cached = getattr(self, "_gate_cache", None)
+        if cached is not None:
+            return cached
+        starts = self.offsets[:-1]
+        n_km = np.diff(self.offsets)
+        if self.bits.shape[0] and len(starts):
+            sizes = np.add.reduceat(
+                self.bits.sum(axis=1, dtype=np.int64), starts
+            )
+            ca = (
+                np.minimum.reduceat(
+                    self.bits.astype(np.uint8), starts, axis=0
+                )
+                > 0
+            )
+        else:
+            sizes = np.zeros(len(starts), dtype=np.int64)
+            ca = np.zeros((len(starts), self.n_colors), dtype=bool)
+        self._gate_cache = (sizes, ca, n_km)
+        return self._gate_cache
+
+    def size_as_flat(self, ui: int, num_km_other: int) -> int:
+        """size_as via the cached gate arrays (no row slicing)."""
+        nf = int(self.full_counts[ui])
+        sizes, _, n_km = self.gate_arrays()
+        if nf == 0:
+            return int(sizes[ui])
+        return nf * num_km_other + int(sizes[ui]) - nf * int(n_km[ui])
+
 
 class KmerPosIndex:
     """Canonical k-mer -> (unitig, position) lookup over a CDBGraph.
