@@ -268,9 +268,12 @@ def run_analysis(opt) -> int:
             f"nbUnitig:{len(g)}\tlength:{g.total_length()}\t"
         )
 
+    from .util.profiling import maybe_trace
+
     _log("findSuperBubble(): Finding superbubbles")
     t0 = time.time()
-    state, bubbles = find_superbubbles(g, opt.complex_size)
+    with maybe_trace("findSuperBubble"):
+        state, bubbles = find_superbubbles(g, opt.complex_size)
     write_superbubble_file(g, bubbles, opt.outprefix)
     _log(f"findSuperBubble(): Real time : {time.time() - t0}s")
     _log(f"findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
@@ -278,7 +281,8 @@ def run_analysis(opt) -> int:
 
     _log("PloidyEstimation(): Analyzing superbubbles to generate sites' information")
     t0 = time.time()
-    ucov, umin = unitig_coverage(db, g)
+    with maybe_trace("ploidyEstimation"):
+        ucov, umin = unitig_coverage(db, g)
     emissions, window_strings = analyze_bubbles(
         g,
         state,

@@ -8,13 +8,32 @@ warm process start instant. Opt out with PLOIDYFROST_JAX_CACHE=0.
 
 from __future__ import annotations
 
+import atexit
 import os
 import threading
+import time
 
 _done = False
 _warmed = False
 _warm_lock = threading.Lock()
 _warm_thread: threading.Thread | None = None
+_shutdown = threading.Event()
+_started = threading.Event()
+
+
+@atexit.register
+def _join_warm_at_exit() -> None:
+    """A daemon thread killed mid-backend-init aborts the process
+    (pthread cancellation through C++ frames -> SIGABRT at interpreter
+    teardown). Signal shutdown; if the thread never reached jax it
+    exits at the grace gate instantly, otherwise wait for the init to
+    finish (rare: only processes that exit without ever using the
+    device)."""
+    _shutdown.set()
+    t = _warm_thread
+    if t is None or not t.is_alive():
+        return
+    t.join(1.5 if not _started.is_set() else None)
 
 
 def warm_transfer() -> None:
@@ -60,6 +79,14 @@ def warm_backend_async() -> None:
         return
 
     def _go():
+        # grace gate: short-lived processes (arg errors, --help) exit
+        # before the thread ever touches jax, so the atexit join below
+        # returns immediately instead of waiting out a backend init
+        for _ in range(10):
+            time.sleep(0.1)
+            if _shutdown.is_set():
+                return
+        _started.set()
         enable_compilation_cache()
         try:
             import jax
