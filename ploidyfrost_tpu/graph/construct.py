@@ -116,6 +116,64 @@ def _links_probes(km: np.ndarray, rc: np.ndarray, k: int) -> np.ndarray:
     return np.where(ok, nxt_node, -1)
 
 
+def _probe_unique_succ(km, rc, k, nodes):
+    """Per packed node (idx*2+o): out-degree and the (last-present)
+    successor as a packed node — the subset form of _links_probes'
+    per-orientation probe loop."""
+    mask = np.uint64((1 << (2 * k)) - 1)
+    base = np.where((nodes & 1) == 1, rc[nodes >> 1], km[nodes >> 1])
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    succ_packed = np.full(len(nodes), -1, dtype=np.int64)
+    for b in range(4):
+        nxt = ((base << np.uint64(2)) | np.uint64(b)) & mask
+        nxt_rc = _revcomp_np(nxt, k)
+        nxt_canon = np.minimum(nxt, nxt_rc)
+        present, idx = _member(km, nxt_canon)
+        deg += present
+        cand = idx * 2 + (nxt != nxt_canon)
+        succ_packed = np.where(present, cand, succ_packed)
+    return deg, succ_packed
+
+
+def _probe_rule(km, rc, k, nodes):
+    """Tentative link of each packed node under the probe rule
+    (outdeg==1, indeg==1, not-self) — before back-link filtering."""
+    if len(nodes) == 0:
+        return np.full(0, -1, dtype=np.int64)
+    deg, succ = _probe_unique_succ(km, rc, k, nodes)
+    tw = np.where(succ >= 0, succ ^ 1, 0)
+    deg2, _ = _probe_unique_succ(km, rc, k, tw)
+    ok = (
+        (deg == 1)
+        & (succ >= 0)
+        & (deg2 == 1)
+        & ((succ >> 1) != (nodes >> 1))
+    )
+    return np.where(ok, succ, -1)
+
+
+def _links_probes_subset(km, rc, k, req):
+    """Probe-rule links (incl. the back-link consistency filter) for
+    just the requested packed nodes — O(|req|) probes instead of the
+    16 full-table passes of _links_probes. Used for palindromic-
+    junction stubs (a handful per genome); equivalence with the full
+    pass is asserted by tests/test_construct.py."""
+    req = np.asarray(req, dtype=np.int64)
+    if len(req) == 0:
+        return req.copy()
+    t1 = _probe_rule(km, rc, k, req)
+    has = t1 >= 0
+    q = t1[has] ^ 1
+    uq = np.unique(q)
+    tq = _probe_rule(km, rc, k, uq)
+    back = tq[np.searchsorted(uq, q)] if len(uq) else q
+    okb = back == (req[has] ^ 1)
+    out = np.full(len(req), -1, dtype=np.int64)
+    idxs = np.flatnonzero(has)
+    out[idxs[okb]] = t1[has][okb]
+    return out
+
+
 def _links_junctions(km: np.ndarray, rc: np.ndarray, k: int) -> np.ndarray:
     """Unitig-interior links via ONE sort over (k-1)-mer junctions.
 
@@ -175,18 +233,23 @@ def _links_junctions(km: np.ndarray, rc: np.ndarray, k: int) -> np.ndarray:
         nxt_node[b_node] = a_node ^ 1
 
     if has_pal.any():
-        # exact local resolution: recompute the out-links of every stub
-        # in a palindromic run with the probe rule, restricted to those
-        # nodes (their partners' mutual links are overwritten to match)
-        probe_links = _links_probes(km, rc, k)
         run_pal = has_pal[run_id]
-        pal_nodes = order[run_pal]
-        nxt_node[pal_nodes] = probe_links[pal_nodes]
-        # mutual consistency: a->b requires twin(b)->twin(a)
-        tgt = nxt_node[pal_nodes]
-        valid = tgt >= 0
-        nxt_node[(tgt[valid] ^ 1)] = probe_links[tgt[valid] ^ 1]
+        _apply_pal_fallback(km, rc, k, nxt_node, order[run_pal])
     return nxt_node
+
+
+def _apply_pal_fallback(km, rc, k, nxt_node, pal_nodes):
+    """Exact local resolution of palindromic-junction stubs: recompute
+    the out-links of just those nodes with the probe rule, then
+    overwrite their partners' mutual links to match — subset probes
+    only (the round-3 fix for the 16-full-pass _links_probes fallback
+    that dominated large builds)."""
+    sub = _links_probes_subset(km, rc, k, pal_nodes)
+    nxt_node[pal_nodes] = sub
+    # mutual consistency: a->b requires twin(b)->twin(a)
+    tgt = sub[sub >= 0]
+    t2 = np.unique(tgt ^ 1)
+    nxt_node[t2] = _links_probes_subset(km, rc, k, t2)
 
 
 def _rank_chains(nxt_node: np.ndarray):
@@ -284,12 +347,7 @@ def _links_junctions_fast(
         pal.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if pal.any():
-        probe_links = _links_probes(km, rc, k)
-        pal_nodes = np.flatnonzero(pal)
-        nxt[pal_nodes] = probe_links[pal_nodes]
-        tgt = nxt[pal_nodes]
-        valid = tgt >= 0
-        nxt[(tgt[valid] ^ 1)] = probe_links[tgt[valid] ^ 1]
+        _apply_pal_fallback(km, rc, k, nxt, np.flatnonzero(pal))
     return nxt
 
 

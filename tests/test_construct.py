@@ -276,3 +276,27 @@ def test_chain_rank_native_matches_numpy():
         # cycles may be broken at different nodes only if numpy picked a
         # different entry; both break at the min node id, so exact match
         assert sorted(c1) == sorted(c2), trial
+
+
+def test_probe_subset_matches_full():
+    """_links_probes_subset == _links_probes restricted to the request
+    set, on random k-mer tables (incl. palindromic junctions at even
+    k-1)."""
+    from ploidyfrost_tpu.graph.construct import (
+        _canon_np,
+        _links_probes,
+        _links_probes_subset,
+        _revcomp_np,
+    )
+
+    rng = np.random.default_rng(9)
+    for k in (5, 9, 25):
+        for trial in range(6):
+            raw = rng.integers(0, 1 << min(2 * k, 63), 400).astype(np.uint64)
+            km = np.unique(_canon_np(raw, k))
+            rc = _revcomp_np(km, k)
+            full = _links_probes(km, rc, k)
+            req = rng.choice(2 * len(km), size=min(60, 2 * len(km)),
+                             replace=False).astype(np.int64)
+            sub = _links_probes_subset(km, rc, k, req)
+            np.testing.assert_array_equal(sub, full[req])
