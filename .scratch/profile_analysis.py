@@ -27,7 +27,7 @@ def t(label, fn):
 def main():
     from ploidyfrost_tpu.util.jaxcache import warm_backend_async
 
-    warm_backend_async()
+    warm_backend_async(search=True)
     from ploidyfrost_tpu.graph.construct import build_graph_from_kmers
     from ploidyfrost_tpu.kmer.pack import canonical_np, sequence_kmers_np
     from ploidyfrost_tpu.kmer.countdb import KmerCountDB

@@ -168,7 +168,7 @@ def bench_analysis(workdir: str):
 def main():
     from ploidyfrost_tpu.util.jaxcache import warm_backend_async
 
-    warm_backend_async()
+    warm_backend_async(search=True)
     out = [bench_counting()]
     with tempfile.TemporaryDirectory() as workdir:
         wall, thr = bench_analysis(workdir)

@@ -97,6 +97,9 @@ def _search_batched(ms: int, mstk: int, max_steps: int):
 
     enable_compilation_cache()
 
+    if ms > 32:
+        # the cycle-set travels as a uint32 bitmask (kernel return)
+        raise ValueError(f"MAX_SEEN caps at 32 (uint32 cyc mask), got {ms}")
     MS, MSTK = ms, mstk
 
     def search_one(seed, succ_node):

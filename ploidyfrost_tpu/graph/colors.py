@@ -122,7 +122,7 @@ class ColorMatrix:
             )
             ca = (
                 np.minimum.reduceat(
-                    self.bits.astype(np.uint8), starts, axis=0
+                    self.bits.view(np.uint8), starts, axis=0
                 )
                 > 0
             )

@@ -121,9 +121,9 @@ def _load_simple(src_name: str, lib_name: str, state: dict, sig):
                 )
                 os.replace(lib_path + ".tmp", lib_path)
             lib = ctypes.CDLL(lib_path)
-        except (OSError, subprocess.SubprocessError):
+            sig(lib)  # AttributeError on a stale/corrupt .so -> fallback
+        except (OSError, subprocess.SubprocessError, AttributeError):
             return None
-        sig(lib)
         state["lib"] = lib
         return lib
 

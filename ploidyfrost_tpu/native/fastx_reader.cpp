@@ -121,6 +121,31 @@ void encode_append(std::vector<uint8_t>* out, const std::vector<uint8_t>& in) {
   for (size_t i = 0; i < n; ++i) dst[i] = kCodes.t[src[i]];
 }
 
+// FASTQ record body after the header line, kseq-style: sequence lines
+// accumulate until the '+' separator, quality lines until they cover
+// the sequence length — multi-line FASTQ parses identically to the
+// Python reader (io/fastx._iter_fastq; bifrost/src/kseq.h semantics).
+void read_fastq_body(Reader* r) {
+  size_t seq_chars = 0;
+  for (;;) {
+    if (!read_line(r)) {
+      r->done = true;
+      return;
+    }
+    if (!r->line.empty() && r->line[0] == '+') break;
+    seq_chars += r->line.size();
+    encode_append(&r->seq, r->line);
+  }
+  size_t q = 0;
+  while (q < seq_chars) {
+    if (!read_line(r)) {
+      r->done = true;
+      return;
+    }
+    q += r->line.size();
+  }
+}
+
 // Advance to the next record; fills r->seq (encoded) and resets windowing.
 // Returns false when the file is exhausted or an IO error was hit (r->err).
 // Empty-sequence records are skipped ITERATIVELY (a file of millions of
@@ -152,14 +177,8 @@ bool next_record(Reader* r) {
         return false;
       }
       if (r->fmt == 2) {
-        // FASTQ: the detected line is the first header; read its sequence
-        if (!read_line(r)) {
-          r->done = true;
-          return false;
-        }
-        encode_append(&r->seq, r->line);
-        read_line(r);  // '+'
-        read_line(r);  // qual
+        // FASTQ: the detected line is the first header
+        read_fastq_body(r);
         if (!r->err.empty()) {  // fail the truncated record, not the next one
           r->done = true;
           return false;
@@ -193,23 +212,25 @@ bool next_record(Reader* r) {
       return true;
     }
 
-    // FASTQ steady state: header / seq / + / qual
-    if (!read_line(r)) {
-      r->done = true;
-      return false;
+    // FASTQ steady state: header (skipping blank separator lines,
+    // e.g. the unconsumed empty quality of a zero-length read), then
+    // the kseq-style multi-line body
+    for (;;) {
+      if (!read_line(r)) {
+        r->done = true;
+        return false;
+      }
+      if (!r->line.empty()) break;
     }
-    if (!read_line(r)) {
-      r->done = true;
-      return false;
-    }
-    encode_append(&r->seq, r->line);
-    read_line(r);
-    read_line(r);
+    read_fastq_body(r);
     if (!r->err.empty()) {
       r->done = true;
       return false;
     }
-    if (r->seq.empty()) continue;
+    if (r->seq.empty()) {
+      if (r->done) return false;
+      continue;
+    }
     r->have_seq = true;
     return true;
   }

@@ -152,7 +152,7 @@ def run_colored_analysis(opt) -> int:
     colored ploidyEstimation."""
     from .util.jaxcache import warm_backend_async
 
-    warm_backend_async()  # overlap tunnel init with the host phases
+    warm_backend_async(search=True)  # overlap tunnel init + search warm
 
     from .bubble.batched import find_superbubbles_device as find_superbubbles
     from .bubble.superbubble import write_superbubble_file
@@ -238,7 +238,7 @@ def run_analysis(opt) -> int:
     setUnitigId, findSuperBubble, ploidyEstimation."""
     from .util.jaxcache import warm_backend_async
 
-    warm_backend_async()  # overlap tunnel init with the host phases
+    warm_backend_async(search=True)  # overlap tunnel init + search warm
 
     from .bubble.batched import find_superbubbles_device as find_superbubbles
     from .bubble.superbubble import write_superbubble_file
@@ -283,21 +283,21 @@ def run_analysis(opt) -> int:
     t0 = time.time()
     with maybe_trace("ploidyEstimation"):
         ucov, umin = unitig_coverage(db, g)
-    emissions, window_strings = analyze_bubbles(
-        g,
-        state,
-        ucov,
-        umin,
-        opt.coverage_lower,
-        opt.coverage_upper,
-        opt.match,
-        opt.mismatch,
-        opt.gap,
-    )
-    wcov = window_coverage(
-        db, window_strings, opt.coverage_lower, opt.coverage_upper
-    )
-    stats = write_outputs(emissions, wcov, opt.outprefix)
+        emissions, window_strings = analyze_bubbles(
+            g,
+            state,
+            ucov,
+            umin,
+            opt.coverage_lower,
+            opt.coverage_upper,
+            opt.match,
+            opt.mismatch,
+            opt.gap,
+        )
+        wcov = window_coverage(
+            db, window_strings, opt.coverage_lower, opt.coverage_upper
+        )
+        stats = write_outputs(emissions, wcov, opt.outprefix)
     _log(f"PloidyEstimation(): Real time : {time.time() - t0}s")
     a = stats["allele"]
     _log(
@@ -376,7 +376,7 @@ def run_multisample_pipeline_cli(opt) -> int:
     checkpoint/resume)."""
     from .util.jaxcache import warm_backend_async
 
-    warm_backend_async()  # overlap tunnel init with the host phases
+    warm_backend_async(search=True)  # overlap tunnel init + search warm
 
     from .graph.colors import color_graph
     from .graph.construct import build_graph_from_kmers, simplify
@@ -452,7 +452,7 @@ def run_pipeline_cli(opt) -> int:
     (replaces script/pipeline/run.sh)."""
     from .util.jaxcache import warm_backend_async
 
-    warm_backend_async()  # overlap tunnel init with the host phases
+    warm_backend_async(search=True)  # overlap tunnel init + search warm
 
     from .kmer.cutoffs import cutoff_lower_from_counts, cutoff_upper_from_counts
     from .model.gmm import run_model

@@ -63,17 +63,20 @@ def warm_transfer() -> None:
             pass
 
 
-def warm_backend_async() -> None:
+def warm_backend_async(search: bool = False) -> None:
     """Start backend init + first-transfer warmup in a daemon thread.
 
     Call at the top of every pipeline entry point that will eventually
     touch the device: the tunnel's one-time setup (GIL-released IO
     wait) then overlaps the host-side counting/graph-build phases
-    instead of stalling the first device kernel. On a real TPU backend
-    the thread also pre-executes the superbubble search program at its
-    standard accelerator tier, so the analysis phase starts with the
-    jit cache hot (trace + persistent-cache load + executable upload
-    cost ~1.5 s that would otherwise land on the first search)."""
+    instead of stalling the first device kernel. With ``search=True``
+    (the analysis entry points only) the thread also pre-executes the
+    superbubble search program at its standard accelerator tiers, so
+    the analysis phase starts with the jit cache hot (trace +
+    persistent-cache load + executable upload cost ~1.5 s that would
+    otherwise land on the first search). Checks the shutdown flag
+    between steps so an early process exit waits out at most one
+    step."""
     global _warm_thread
     if _warm_thread is not None:
         return
@@ -88,6 +91,8 @@ def warm_backend_async() -> None:
                 return
         _started.set()
         enable_compilation_cache()
+        if not search or _shutdown.is_set():
+            return
         try:
             import jax
 
@@ -106,6 +111,8 @@ def warm_backend_async() -> None:
             fn = _build_search(MAX_SEEN, MAX_STACK, MAX_STEPS)
             table = jnp.full((1 << 17, 2, 4), -1, jnp.int32)
             for chunk_w in (1 << 14, MAX_CHUNK):
+                if _shutdown.is_set():
+                    return
                 jax.block_until_ready(
                     fn(jnp.zeros((chunk_w,), jnp.int32), table)
                 )

@@ -70,7 +70,7 @@ def profile_analysis(genome_bp: int = 5_000_000, het: float = 0.01) -> dict:
     from ..sites.emit import analyze_bubbles, write_outputs
     from .jaxcache import warm_backend_async
 
-    warm_backend_async()
+    warm_backend_async(search=True)
     times: dict[str, float] = {}
 
     def t(label, fn):

@@ -262,12 +262,6 @@ def test_chain_rank_native_matches_numpy():
             return out
 
         o1, s1 = _rank_chains_fast(clean.copy())
-        # numpy fallback path
-        import ploidyfrost_tpu.graph.construct as C
-
-        lib = C.load_chain_library if False else None
-        from ploidyfrost_tpu.graph.construct import _rank_chains
-
         o2, h2 = _rank_chains(clean.copy())
         sh = h2[o2]
         s2 = np.concatenate([[True], sh[1:] != sh[:-1]])

@@ -119,3 +119,17 @@ def test_truncated_gzip_errors(tmp_path):
 def test_missing_file():
     with pytest.raises(FileNotFoundError):
         _collect(read_batches_native(["/nonexistent/file.fa"], 25))
+
+
+def test_multiline_fastq_parity(tmp_path):
+    """Multi-line FASTQ (kseq-supported) parses identically in the
+    native and Python readers, including zero-length records."""
+    p = str(tmp_path / "ml.fq")
+    with open(p, "wb") as f:
+        f.write(b"@r1\nACGTAC\nGTACGTAA\n+\nIIIIII\nIIIIIIII\n")
+        f.write(b"@r0\n\n+\n\n")
+        f.write(
+            b"@r2\nACGTACGTACGTACGTACGTACGTACGTA\n+r2\n"
+            b"IIIIIIIIIIIIIIIIIIIIIIIIIIIII\n"
+        )
+    _assert_same([p], k=5)
