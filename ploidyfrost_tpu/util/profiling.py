@@ -97,6 +97,12 @@ def profile_analysis(genome_bp: int = 5_000_000, het: float = 0.01) -> dict:
     km, ct = t("kmer tables (host)", make_kmers)
     g = t("build_graph_from_kmers", lambda: build_graph_from_kmers(km, 25))
     db = t("CountDB", lambda: KmerCountDB(km, ct, 25))
+    # join the background warmup before the analysis stages: the
+    # one-time tunnel setup + program load is environment, not engine
+    # (same accounting as bench.py)
+    from .jaxcache import wait_warm
+
+    wait_warm()
     res = {}
 
     def search():
