@@ -74,9 +74,11 @@ def _iter_fastq(f) -> Iterator[tuple[bytes, bytes]]:
         hdr = f.readline()
         if not hdr:
             return
-        if not hdr.rstrip():
-            # blank line between records (e.g. the unconsumed empty
-            # quality line of a zero-length read)
+        if not hdr.startswith((b"@", b">")):
+            # kseq scans forward to the next '@'/'>' record marker
+            # (bifrost/src/kseq.h ks_getuntil loop): blank separator
+            # lines (e.g. the unconsumed empty quality of a zero-length
+            # read) and junk lines are skipped, not treated as headers
             continue
         seq_parts: list[bytes] = []
         line = f.readline()
@@ -244,10 +246,14 @@ def read_batches(
         yield from read_batches_native(paths, k, batch_reads, max_len)
     else:
         if trim is not None and load_library() is not None:
+            # stderr: stdout carries the reference-parity log lines
+            import sys
+
             print(
                 "read_batches: quality trimming enabled - using the "
                 "Python reader (the native loader discards quality "
                 "lines)",
+                file=sys.stderr,
                 flush=True,
             )
         yield from read_batches_py(paths, k, batch_reads, max_len, trim=trim)

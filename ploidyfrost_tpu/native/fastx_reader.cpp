@@ -212,15 +212,17 @@ bool next_record(Reader* r) {
       return true;
     }
 
-    // FASTQ steady state: header (skipping blank separator lines,
-    // e.g. the unconsumed empty quality of a zero-length read), then
-    // the kseq-style multi-line body
+    // FASTQ steady state: scan forward to the next '@'/'>' record
+    // marker (kseq semantics, bifrost/src/kseq.h) — blank separator
+    // lines (e.g. the unconsumed empty quality of a zero-length read)
+    // and junk lines are skipped, not treated as headers — then the
+    // kseq-style multi-line body
     for (;;) {
       if (!read_line(r)) {
         r->done = true;
         return false;
       }
-      if (!r->line.empty()) break;
+      if (!r->line.empty() && (r->line[0] == '@' || r->line[0] == '>')) break;
     }
     read_fastq_body(r);
     if (!r->err.empty()) {

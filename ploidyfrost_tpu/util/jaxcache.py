@@ -26,14 +26,15 @@ def _join_warm_at_exit() -> None:
     """A daemon thread killed mid-backend-init aborts the process
     (pthread cancellation through C++ frames -> SIGABRT at interpreter
     teardown). Signal shutdown; if the thread never reached jax it
-    exits at the grace gate instantly, otherwise wait for the init to
-    finish (rare: only processes that exit without ever using the
-    device)."""
+    exits at the grace gate instantly. Mid-init the join is BOUNDED:
+    the tunnel's first transfer can take minutes, and a short-lived CLI
+    invocation must not hang at exit for that long — after the bound we
+    accept the (rare) teardown abort of an already-failing process."""
     _shutdown.set()
     t = _warm_thread
     if t is None or not t.is_alive():
         return
-    t.join(1.5 if not _started.is_set() else None)
+    t.join(1.5 if not _started.is_set() else 10.0)
 
 
 def warm_transfer() -> None:

@@ -121,6 +121,27 @@ def test_missing_file():
         _collect(read_batches_native(["/nonexistent/file.fa"], 25))
 
 
+def test_junk_between_fastq_records(tmp_path):
+    """kseq scans forward to the next '@'/'>' marker between records
+    (bifrost/src/kseq.h): junk/comment lines are skipped, never treated
+    as headers — in BOTH readers, identically."""
+    p = str(tmp_path / "junk.fq")
+    with open(p, "wb") as f:
+        f.write(b"@r1\nACGTACGTACGT\n+\nIIIIIIIIIIII\n")
+        f.write(b"junk line\n# another\n\n")
+        f.write(b"@r2\nTTTTACGTACGT\n+\nIIIIIIIIIIII\n")
+    a = _collect(read_batches_py([p], 5, 4, 32))
+    b = _collect(read_batches_native([p], 5, 4, 32))
+    assert len(a) == len(b) == 1
+    np.testing.assert_array_equal(a[0], b[0])
+    # exactly the two real records survive
+    from ploidyfrost_tpu.kmer.pack import INVALID_BASE
+
+    assert (a[0][0] != INVALID_BASE).sum() == 12
+    assert (a[0][1] != INVALID_BASE).sum() == 12
+    assert (a[0][2:] == INVALID_BASE).all()
+
+
 def test_multiline_fastq_parity(tmp_path):
     """Multi-line FASTQ (kseq-supported) parses identically in the
     native and Python readers, including zero-length records."""
