@@ -277,14 +277,18 @@ def cmd_model(argv) -> int:
 def cmd_count(argv) -> int:
     """Native k-mer counting (replaces `kmc -ci1 -cs10000 -k25` +
     `kmc_tools transform histogram`, script/pipeline/2.kmc_db)."""
+    from .util.jaxcache import warm_backend_async
+
+    warm_backend_async()  # compile cache + tunnel warm for the counter
+
     opt = parse_options(argv, Options())
     from .io.fastx import read_batches
-    from .kmer.count import KmerCounter
+    from .parallel.mesh import make_counter
 
     if not opt.inputs:
         print("Error: no input reads", file=sys.stderr)
         return 1
-    counter = KmerCounter(opt.k)
+    counter = make_counter(opt.k)
     for batch in read_batches(opt.inputs, opt.k):
         counter.add_reads(batch)
     counter.write_histogram(opt.outprefix + ".hist.txt")
@@ -338,6 +342,9 @@ def cmd_run(argv) -> int:
 
 def cmd_build(argv) -> int:
     from .pipeline import build_colored_graph_cli, build_graph_cli
+    from .util.jaxcache import warm_backend_async
+
+    warm_backend_async()  # compile cache + tunnel warm for the counter
 
     opt = parse_options(argv, Options())
     if opt.colored:
@@ -389,6 +396,14 @@ def cmd_pipeline_multi(argv) -> int:
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    # --devices[=N]: mesh selection for every compute stage (counting,
+    # superbubble search, EM). Default auto: all visible devices when
+    # more than one. The reference's equivalent axis is -t threads
+    # (src/Main.cpp:124); ours is the device mesh (parallel/mesh.py).
+    from .parallel.mesh import extract_devices_flag, set_mesh_spec
+
+    argv, devspec = extract_devices_flag(argv)
+    set_mesh_spec(devspec)
     if not argv:
         print(__doc__)
         return 0

@@ -327,11 +327,13 @@ def _links_junctions_fast(
     from ..native import load_construct_library
 
     lib = load_construct_library()
-    if lib is None:
+    n = len(km)
+    # the native kernel packs node ids into 30 bits (u32 payload radix
+    # sort); beyond ~500 Mbp of distinct k-mers use the numpy path
+    if lib is None or 2 * n >= (1 << 30):
         return _links_junctions(km, rc, k)
     import ctypes
 
-    n = len(km)
     nxt = np.full(2 * n, -1, dtype=np.int64)
     pal = np.zeros(2 * n, dtype=np.uint8)
 
@@ -534,16 +536,148 @@ def _lex_perm(store) -> np.ndarray:
     return perm
 
 
+def _stub_links(suf0: np.ndarray, suf1: np.ndarray, kj: int):
+    """Junction-run linking over UNITIG-END stubs: the unitig-level
+    twin of _links_junctions (a whole unitig behaves exactly like one
+    k-mer whose two oriented suffixes are its end (k-1)-mers). Returns
+    (nxt_node over packed 2i+o nodes, ok). ok=False bails to the full
+    recompaction: palindromic junctions (whose k-mer-level resolution
+    probes the k-mer table) and self-joins (a unitig closing into a
+    circle, which the full rebuild would re-rotate to its minimum
+    k-mer) are not resolvable at this level."""
+    m = len(suf0)
+    suf = np.empty(2 * m, dtype=np.uint64)
+    suf[0::2] = suf0
+    suf[1::2] = suf1
+    suf_rc = _revcomp_np(suf, kj)
+    jc = np.minimum(suf, suf_rc)
+    pol = suf == jc
+    pal = suf == suf_rc
+
+    order = np.argsort(jc, kind="stable")
+    js = jc[order]
+    run_start = np.empty(len(js), dtype=bool)
+    if len(js):
+        run_start[0] = True
+        run_start[1:] = js[1:] != js[:-1]
+    run_id = np.cumsum(run_start) - 1
+    n_runs = int(run_id[-1]) + 1 if len(js) else 0
+    pol_o = pol[order]
+    pal_o = pal[order]
+    nf = np.bincount(run_id[pol_o], minlength=n_runs)
+    nr = np.bincount(run_id[~pol_o], minlength=n_runs)
+    linkable = (nf == 1) & (nr == 1)
+
+    nxt = np.full(2 * m, -1, dtype=np.int64)
+    # any SHARED junction containing a palindromic stub (polarity
+    # meaningless there) is k-mer-level probe territory: bail. A pal
+    # stub alone at its junction can never link — safe to ignore.
+    if pal_o.any():
+        pal_runs = np.zeros(n_runs, dtype=bool)
+        np.logical_or.at(pal_runs, run_id, pal_o)
+        if (pal_runs & (nf + nr >= 2)).any():
+            return nxt, False
+        linkable &= ~pal_runs
+    if linkable.any():
+        starts = np.flatnonzero(run_start)
+        s2 = starts[linkable]
+        a_pos = np.where(pol_o[s2], s2, s2 + 1)
+        b_pos = np.where(pol_o[s2], s2 + 1, s2)
+        a_node = order[a_pos]
+        b_node = order[b_pos]
+        if ((a_node >> 1) == (b_node >> 1)).any():
+            return nxt, False  # circular unitig: needs the rebuild
+        nxt[a_node] = b_node ^ 1
+        nxt[b_node] = a_node ^ 1
+    return nxt, True
+
+
+def _simplify_fast(g: CDBGraph, k: int, drop: np.ndarray):
+    """Drop the marked unitigs and re-join at the (few) junctions their
+    removal opened — O(#unitigs) instead of a full recompaction of the
+    k-mer set. Returns None on the edge cases the unitig-level view
+    cannot resolve (see _stub_links); tests/test_construct.py asserts
+    equivalence with the full rebuild on random graphs."""
+    kept = np.flatnonzero(~drop)
+    store = g.store
+    if len(kept) == 0:
+        return CDBGraph([], k)
+    mask_j = np.uint64((1 << (2 * (k - 1))) - 1)
+    head = store.head_kmers(k)[kept]
+    tail = store.tail_kmers(k)[kept]
+    suf0 = tail & mask_j
+    suf1 = _revcomp_np(head, k) & mask_j
+    nxt, ok = _stub_links(suf0, suf1, k - 1)
+    if not ok:
+        return None
+    if not (nxt >= 0).any():
+        # pure drop: a subset of a lex-sorted store stays lex-sorted
+        return CDBGraph(store.reorder(kept), k)
+    nxt_orig = nxt.copy()
+    order, headof = _rank_chains(nxt)
+    sorted_heads = headof[order]
+    chain_start = np.concatenate([[True], sorted_heads[1:] != sorted_heads[:-1]])
+    starts = np.flatnonzero(chain_start)
+    ends = np.append(starts[1:], len(order))
+    if (nxt_orig[order[ends - 1]] >= 0).any():
+        return None  # a join closed a cycle: needs the rebuild
+    head_nodes = order[starts]
+    tail_nodes = order[ends - 1]
+    keep_chain = head_nodes <= (tail_nodes ^ 1)
+    untouched: list[int] = []
+    merged: list[str] = []
+    for s, e in zip(starts[keep_chain], ends[keep_chain]):
+        if e - s == 1:
+            untouched.append(int(order[s]) >> 1)
+            continue
+        parts = []
+        for node in order[s:e]:
+            u = kept[int(node) >> 1]
+            seq = store.decode(int(u))
+            if int(node) & 1:
+                seq = revcomp(seq)
+            parts.append(seq if not parts else seq[k - 1 :])
+        seq = "".join(parts)
+        r = revcomp(seq)
+        merged.append(min(seq, r))
+    from .seqstore import SeqStore
+
+    sub = store.reorder(kept[np.array(untouched, dtype=np.int64)])
+    if merged:
+        add = SeqStore.from_strings(merged)
+        combined = SeqStore(
+            np.concatenate([sub.words, add.words]),
+            np.concatenate([sub.off_w, sub.off_w[-1] + add.off_w[1:]]),
+            np.concatenate([sub.lengths, add.lengths]),
+        )
+    else:
+        combined = sub
+    return CDBGraph(combined.reorder(_lex_perm(combined)), k)
+
+
 def simplify(g: CDBGraph, k: int) -> CDBGraph:
     """Bifrost `-i -d`: delete short isolated unitigs and clip short
-    tips (< 2k bases), then recompact (CompactedDBG.tcc:745-770).
-    Vectorized over the packed store (no per-unitig Python walks)."""
+    tips (< 2k bases), then re-join what the removal opened
+    (CompactedDBG.tcc:745-770). The unitig-level fast path touches only
+    the affected junction stubs; its (rare) unresolvable cases fall
+    back to a full recompaction of the surviving k-mer set — the two
+    are equivalent by construction (maximal chains of the same k-mer
+    set) and cross-checked in tests/test_construct.py."""
     lens = g.store.lengths
     deg_fw = g._out_deg[:, 1]
     deg_bw = g._out_deg[:, 0]
     drop = (lens < 2 * k) & ((deg_fw == 0) | (deg_bw == 0))
     if not drop.any():
         return g
+    fast = _simplify_fast(g, k, np.asarray(drop))
+    if fast is not None:
+        return fast
+    return _simplify_rebuild(g, k, np.asarray(drop))
+
+
+def _simplify_rebuild(g: CDBGraph, k: int, drop: np.ndarray) -> CDBGraph:
+    """Full recompaction of the surviving k-mer set — the oracle the
+    fast path is tested against, and the fallback for its bail cases."""
     flat, nk = g.store.all_kmers(k)
     seg = np.repeat(np.arange(len(nk)), nk)
     kept = flat[~drop[seg]]
@@ -556,9 +690,9 @@ def simplify(g: CDBGraph, k: int) -> CDBGraph:
 def build_graph_from_reads(paths, k: int, min_count: int = 1):
     """Count reads, threshold, compact, simplify. Returns (graph, counter)."""
     from ..io.fastx import read_batches
-    from ..kmer.count import KmerCounter
+    from ..parallel.mesh import make_counter
 
-    counter = KmerCounter(k)
+    counter = make_counter(k)
     for batch in read_batches(paths, k):
         counter.add_reads(batch)
     km, ct = counter.arrays()

@@ -229,19 +229,43 @@ def read_batches_native(
         yield buf
 
 
+def _auto_max_len(paths: list[str], k: int, cap: int = 512) -> int:
+    """Window width sized from the first record: a 150 bp read in a
+    512-wide row is ~70% padding, and padding costs real transfer bytes
+    and sort slots downstream. Short-read files get a snug width
+    (rounded up to 32); anything at or beyond the cap keeps the cap
+    (longer sequences tile into overlapping windows either way, k-mer
+    multiset unchanged)."""
+    try:
+        first = next(iter_sequences(paths[0]), None)
+    except (OSError, ValueError):
+        return cap
+    if first is None:
+        return cap
+    n = len(first)
+    if n >= cap:
+        return cap
+    return max(64, k + 7, (n + 31) & ~31)
+
+
 def read_batches(
     paths: list[str] | str,
     k: int,
-    batch_reads: int = 4096,
-    max_len: int = 512,
+    batch_reads: int = 16384,
+    max_len: int | None = None,
     trim=None,
 ) -> Iterator[np.ndarray]:
     """Yield [batch_reads, max_len] uint8 code batches from FASTX files,
     using the native loader when it is available (identical output).
-    Quality trimming (``trim``) currently runs on the Python path only —
-    the native loader discards quality lines."""
+    ``max_len=None`` sizes the window from the first record
+    (_auto_max_len). Quality trimming (``trim``) currently runs on the
+    Python path only — the native loader discards quality lines."""
     from ..native import load_library
 
+    if isinstance(paths, str):
+        paths = [paths]
+    if max_len is None:
+        max_len = _auto_max_len(paths, k)
     if trim is None and load_library() is not None:
         yield from read_batches_native(paths, k, batch_reads, max_len)
     else:

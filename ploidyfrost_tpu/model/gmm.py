@@ -141,6 +141,10 @@ class GmmModel:
         self.log_likelihood = 0.0
         self.aic = 0.0
         self._af_dev = None
+        # optional device mesh: em_iterate runs the psum-sharded EM
+        # (parallel/sharded.py) with a host emIterate loop
+        self.mesh = None
+        self._mesh_steps = None
 
     # -- configuration ---------------------------------------------------
 
@@ -262,15 +266,30 @@ class GmmModel:
 
     def _af(self):
         """Device copy padded to a power-of-two bucket with a validity
-        mask, so the jitted EM programs are reused across dataset sizes."""
+        mask, so the jitted EM programs are reused across dataset sizes.
+        With a mesh, the bucket is additionally padded to a multiple of
+        the device count and the arrays are put sharded."""
         if self._af_dev is None:
             n = len(self.allele_fre)
             cap = max(256, 1 << (max(n - 1, 1)).bit_length())
+            if self.mesh is not None:
+                D = self.mesh.devices.size
+                cap += (-cap) % D
             af = np.zeros(cap, dtype=np.float64)
             af[:n] = self.allele_fre
             mask = np.zeros(cap, dtype=np.float64)
             mask[:n] = 1.0
-            self._af_dev = (jnp.asarray(af), jnp.asarray(mask))
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                s = NamedSharding(self.mesh, PartitionSpec(("data", "shard")))
+                self._af_dev = (
+                    jax.device_put(af, s),
+                    jax.device_put(mask, s),
+                )
+            else:
+                self._af_dev = (jnp.asarray(af), jnp.asarray(mask))
         return self._af_dev
 
     def compute_log_likelihood(self) -> float:
@@ -298,6 +317,9 @@ class GmmModel:
         self.weights = np.asarray(w)
 
     def em_iterate(self):
+        if self.mesh is not None:
+            self._em_iterate_mesh()
+            return
         af, mask = self._af()
         v, w, ll = _em_iterate(
             af, mask,
@@ -310,6 +332,40 @@ class GmmModel:
         self.vars = np.asarray(v)
         self.weights = np.asarray(w)
         self.log_likelihood = float(ll)
+        self.compute_aic()
+
+    def _em_iterate_mesh(self):
+        """emIterate (src/GmmModel.cpp:379-394) with the psum-sharded EM
+        and ll steps: the N-point reductions split over the mesh, the
+        loop control stays on host (each step already returns the
+        post-update ll, so one device call per iteration)."""
+        if self._mesh_steps is None:
+            from ..parallel.sharded import (
+                build_sharded_em_step,
+                build_sharded_ll_step,
+            )
+
+            self._mesh_steps = (
+                build_sharded_em_step(self.mesh),
+                build_sharded_ll_step(self.mesh),
+            )
+        em_step, ll_step = self._mesh_steps
+        af, mask = self._af()
+        means = jnp.asarray(self.means)
+        w = jnp.asarray(self.weights)
+        v = jnp.asarray(self.vars)
+        ll = float(ll_step(af, mask, means, w, v))
+        delta = DBL_MAX
+        count = 0
+        while delta > self.em_max_delta and count < self.em_max_iter:
+            v, w, ll2 = em_step(af, mask, means, w, v, self.m_thre, self.n_thre)
+            ll2 = float(ll2)
+            delta = ll2 - ll
+            ll = ll2
+            count += 1
+        self.vars = np.asarray(v)
+        self.weights = np.asarray(w)
+        self.log_likelihood = ll
         self.compute_aic()
 
     def compute_aic(self) -> float:
@@ -372,6 +428,9 @@ def run_model(
     (src/Main.cpp:666-689).
     """
     model = GmmModel()
+    from ..parallel.mesh import resolve_mesh
+
+    model.mesh = resolve_mesh()
     model.set_m_threshold(m_threshold)
     model.set_n_threshold(n_threshold)
     model.set_max_iter_num(max_iter)

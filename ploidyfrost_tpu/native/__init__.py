@@ -111,6 +111,7 @@ def _load_simple(src_name: str, lib_name: str, state: dict, sig):
                         "-O2",
                         "-shared",
                         "-fPIC",
+                        "-pthread",
                         "-o",
                         lib_path + ".tmp",
                         src,

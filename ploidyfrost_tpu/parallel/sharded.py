@@ -99,7 +99,9 @@ def _route(km, dest, n_dest, quota, axis_name):
     return recv.reshape(-1), overflow
 
 
-def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
+def build_sharded_count_step(
+    mesh: Mesh, k: int, table_cap: int, quota: int, quota2: int | None = None
+):
     """Returns a jitted step: (codes, table_km, table_ct) ->
     (table_km, table_ct, hist, overflow, n_instances).
 
@@ -109,13 +111,23 @@ def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
     a * n_shard + s, so no two devices hold the same key and nothing is
     replicated or redundantly recomputed.
 
+    `quota` / `quota2` are the per-destination-bin capacities of the two
+    all_to_all hops. They bound both the exchanged bytes and the sort
+    sizes downstream of each hop, so TIGHT quotas (sized from the
+    expected VALID k-mers per device, not the padded window count — see
+    ShardedKmerCounter) are the difference between exchanging real data
+    and exchanging sentinel padding. quota2 defaults to the legacy
+    quota * n_shard.
+
     On overflow (routing quota or table capacity) the step's outputs are
-    NOT trustworthy; the host wrapper (sharded_count) grows and replays
-    the same batch — mirroring the single-chip grow-and-replay
+    NOT trustworthy; the host wrapper (ShardedKmerCounter) grows and
+    replays the same batch — mirroring the single-chip grow-and-replay
     (kmer/count.py:321-341)."""
     n_data = mesh.shape["data"]
     n_shard = mesh.shape["shard"]
     D = n_data * n_shard
+    if quota2 is None:
+        quota2 = quota * n_shard
 
     from ..kmer.count import _collapse
 
@@ -143,7 +155,7 @@ def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
         a_dest = jnp.where(
             owner1 < D, owner1 // n_shard, np.int32(n_data)
         ).astype(jnp.int32)
-        km2, ovf2 = _route(km1, a_dest, n_data, quota * n_shard, "data")
+        km2, ovf2 = _route(km1, a_dest, n_data, quota2, "data")
 
         # ---- local sort-collapse merge with the resident slice -------
         hi = (km2 >> jnp.uint64(32)).astype(jnp.uint32)
@@ -204,75 +216,188 @@ def build_sharded_count_step(mesh: Mesh, k: int, table_cap: int, quota: int):
     return jax.jit(step_sharded)
 
 
-def sharded_count(mesh: Mesh, k: int, code_batches, table_cap=4096, quota=None):
-    """Count canonical k-mers of `code_batches` over the mesh, growing
-    and replaying on any overflow (the multi-chip analog of
-    KmerCounter's grow-and-replay, kmer/count.py:321-341).
+class ShardedKmerCounter:
+    """KmerCounter-compatible streaming counter over a device mesh.
 
-    Returns (kmers sorted u64 np.ndarray, counts int64, hist int64[256],
-    n_instances). Deterministic and mesh-shape invariant: the merged
-    global table depends only on the k-mer multiset
-    (tests/test_mesh_invariance.py)."""
-    D = mesh.shape["data"] * mesh.shape["shard"]
-    batches = []
-    for b in code_batches:
-        b = np.asarray(b, dtype=np.uint8)
-        # pad the batch dim to a multiple of the device count with
-        # invalid rows (code 0xF > 3 -> every window invalid)
-        if b.shape[0] % D:
-            pad = D - b.shape[0] % D
-            b = np.concatenate(
-                [b, np.full((pad, b.shape[1]), 0x0F, np.uint8)]
+    The CLI's mesh path (parallel/mesh.py, `--devices`) counts through
+    this class: same surface as kmer.count.KmerCounter (add_reads /
+    arrays / histogram / write_histogram / total_kmers / num_unique) so
+    the pipeline entry points are mesh-agnostic. One add_reads = one
+    sharded count step (two-hop all_to_all route + per-shard
+    sort-collapse merge + psum histogram); overflow triggers
+    grow-and-RESUME: the valid pre-batch table carries into a larger
+    table (per-shard hash ownership is cap-independent, so expansion is
+    per-shard sentinel padding ON DEVICE) and only the failing batch
+    replays. The new capacity is projected from the observed
+    distinct-rate (the exact-counting analog of the reference's
+    KmerStream F0 sizing, SURVEY §2b row 20) so a growth cascade
+    normally ends in ONE step.
+
+    Deterministic and mesh-shape invariant: the merged global table
+    depends only on the k-mer multiset (tests/test_mesh_invariance.py).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        k: int,
+        counter_max: int = 10000,
+        initial_capacity: int = 1 << 20,
+        quota: int | None = None,
+        expected_instances: int | None = None,
+    ):
+        self.mesh = mesh
+        self.k = k
+        self.counter_max = counter_max
+        self.D = mesh.shape["data"] * mesh.shape["shard"]
+        # per-shard capacity; `initial_capacity` is the GLOBAL table
+        # size, mirroring KmerCounter's meaning
+        self._cap = _pow2(max(64, initial_capacity // self.D))
+        self._quota = quota
+        self._quota2 = None
+        self._step = None
+        self._km, self._ct = init_sharded_table(mesh, self._cap)
+        self._hist = None
+        self._n_total = 0
+        self._done_inst = 0
+        # optional total-instance hint for the growth projection bound
+        self._inst_hint = expected_instances
+
+    def _pick_quotas(self, codes) -> None:
+        """Size the two routing quotas from the FIRST batch's actual
+        valid-k-mer count (reads are usually much shorter than the
+        window width, so padded slots overstate the real volume by
+        3-4x). 2x headroom over the balanced-hash expectation; overflow
+        still grows and replays, so a tight start is safe."""
+        import jax
+
+        if self._quota is not None:
+            if self._quota2 is None:
+                self._quota2 = self._quota * self.mesh.shape["shard"]
+            return
+        v = int(
+            jax.jit(
+                lambda c: jnp.sum(batch_kmers(c, self.k)[1], dtype=jnp.int64)
+            )(codes)
+        )
+        per_dev = max(1, (2 * v) // self.D)
+        self._quota = max(
+            4096, -(-per_dev // self.mesh.shape["shard"])
+        )
+        self._quota2 = max(4096, -(-per_dev // self.mesh.shape["data"]))
+
+    # -- ingestion -------------------------------------------------------
+
+    def add_reads(self, codes) -> None:
+        b = np.asarray(codes, dtype=np.uint8)
+        if b.shape[0] % self.D:
+            # pad the batch dim to a multiple of the device count with
+            # invalid rows (code 0xF > 3 -> every window invalid)
+            pad = self.D - b.shape[0] % self.D
+            b = np.concatenate([b, np.full((pad, b.shape[1]), 0x0F, np.uint8)])
+        n_inst = b.shape[0] * (b.shape[1] - self.k + 1)
+        if self._quota is None or self._quota2 is None:
+            self._pick_quotas(b)
+        if self._step is None:
+            self._step = build_sharded_count_step(
+                self.mesh, self.k, self._cap, self._quota, self._quota2
             )
-        batches.append(b)
-    if quota is None:
-        mx = max((b.shape[0] * (b.shape[1] - k + 1)) for b in batches)
-        quota = max(64, (2 * mx) // D)
+        while True:
+            nkm, nct, nhist, overflow, ni = self._step(b, self._km, self._ct)
+            if not bool(overflow):
+                self._km, self._ct, self._hist = nkm, nct, nhist
+                self._n_total += int(ni)
+                self._done_inst += n_inst
+                return
+            self._grow(n_inst)
 
-    # grow-and-RESUME: on overflow, the valid pre-batch table carries
-    # into a larger table (per-shard hash ownership is cap-independent,
-    # so expansion is per-shard sentinel padding) and only the failing
-    # batch onward replays — one batch of rework per growth instead of
-    # the round-2 full-replay-from-scratch (VERDICT r2 weak #8). The
-    # new capacity is projected from the observed distinct-rate so a
-    # cascade normally ends in ONE growth.
-    inst_total = sum(b.shape[0] * (b.shape[1] - k + 1) for b in batches)
-    step = build_sharded_count_step(mesh, k, table_cap, quota)
-    km, ct = init_sharded_table(mesh, table_cap)
-    hist = None
-    n_total = 0
-    bi = 0
-    done_inst = 0
-    while bi < len(batches):
-        b = batches[bi]
-        nkm, nct, nhist, overflow, n_inst = step(b, km, ct)
-        if not bool(overflow):
-            km, ct, hist = nkm, nct, nhist
-            n_total += int(n_inst)
-            done_inst += b.shape[0] * (b.shape[1] - k + 1)
-            bi += 1
-            continue
-        # distinct-rate projection (the exact-counting analog of the
-        # reference's KmerStream F0 sizing, SURVEY §2b row 20), bounded
-        # by the trivial distinct <= instances ceiling
-        if done_inst:
-            rate = (D * table_cap) / done_inst
-            projected = int(rate * inst_total * 1.5 / D) + quota
+    def _grow(self, batch_inst: int) -> None:
+        # distinct-rate projection, bounded by the trivial
+        # distinct <= instances ceiling
+        target = self._inst_hint or (self._done_inst + batch_inst) * 2
+        if self._done_inst:
+            rate = (self.D * self._cap) / self._done_inst
+            projected = int(rate * target * 1.5 / self.D) + self._quota
         else:
-            projected = 2 * table_cap
-        bound = inst_total // D + quota + 64
-        new_cap = max(2 * table_cap, min(_pow2(projected), _pow2(bound)))
-        km, ct = _expand_tables(mesh, km, ct, table_cap, new_cap)
-        table_cap = new_cap
-        quota *= 2
-        step = build_sharded_count_step(mesh, k, table_cap, quota)
+            projected = 2 * self._cap
+        bound = target // self.D + self._quota + 64
+        new_cap = max(2 * self._cap, min(_pow2(projected), _pow2(bound)))
+        self._km, self._ct = _expand_tables(
+            self.mesh, self._km, self._ct, self._cap, new_cap
+        )
+        self._cap = new_cap
+        self._quota *= 2
+        self._quota2 *= 2
+        self._step = build_sharded_count_step(
+            self.mesh, self.k, self._cap, self._quota, self._quota2
+        )
 
-    km = np.asarray(km)
-    ct = np.asarray(ct)
-    live = km != SENTINEL
-    km, ct = km[live], ct[live]
-    order = np.argsort(km)
-    return km[order], ct[order], np.asarray(hist), n_total
+    # -- finalization / views --------------------------------------------
+
+    @property
+    def total_kmers(self) -> int:
+        return self._n_total
+
+    @property
+    def num_unique(self) -> int:
+        km, _ = self.arrays()
+        return len(km)
+
+    def arrays(self):
+        """(sorted unique canonical k-mers u64, saturated counts int64),
+        streamed off-device ONE SHARD AT A TIME (each shard is fetched,
+        filtered, then released before the next — peak extra host memory
+        is one shard's slice, not the padded global table)."""
+        kms, cts = [], []
+        kshards = sorted(self._km.addressable_shards, key=lambda s: s.index)
+        cshards = sorted(self._ct.addressable_shards, key=lambda s: s.index)
+        for ks, cs in zip(kshards, cshards):
+            km = np.asarray(ks.data).ravel()
+            live = km != SENTINEL
+            kms.append(km[live])
+            cts.append(np.asarray(cs.data).ravel()[live])
+        km = np.concatenate(kms) if kms else np.empty(0, np.uint64)
+        ct = np.concatenate(cts) if cts else np.empty(0, np.int64)
+        order = np.argsort(km)
+        return km[order], np.minimum(ct[order], self.counter_max)
+
+    def histogram(self, max_cov: int | None = None) -> np.ndarray:
+        """hist[c] = number of distinct k-mers with saturated count c.
+        The step's running psum histogram covers c <= 255; larger
+        max_cov recomputes from the final counts."""
+        if max_cov is None:
+            max_cov = self.counter_max
+        if max_cov <= 255 and self._hist is not None:
+            return np.asarray(self._hist)[: max_cov + 1]
+        _, ct = self.arrays()
+        c = np.clip(ct, 0, max_cov).astype(np.int64)
+        hist = np.bincount(c, minlength=max_cov + 1)
+        hist[0] = 0
+        return hist
+
+    def write_histogram(self, path: str, max_cov: int = 10000) -> None:
+        hist = self.histogram(max_cov)
+        with open(path, "w") as f:
+            for cov in range(1, max_cov + 1):
+                f.write(f"{cov}\t{int(hist[cov]) if cov < len(hist) else 0}\n")
+
+
+def sharded_count(mesh: Mesh, k: int, code_batches, table_cap=4096, quota=None):
+    """Count canonical k-mers of `code_batches` over the mesh (see
+    ShardedKmerCounter). Returns (kmers sorted u64, counts int64,
+    hist int64[256], n_instances)."""
+    counter = ShardedKmerCounter(
+        mesh, k, initial_capacity=table_cap * mesh.devices.size, quota=quota
+    )
+    for b in code_batches:
+        counter.add_reads(b)
+    km, ct = counter.arrays()
+    hist = (
+        np.asarray(counter._hist)
+        if counter._hist is not None
+        else np.zeros(256, np.int64)
+    )
+    return km, ct, hist, counter.total_kmers
 
 
 def _pow2(n: int) -> int:
@@ -280,22 +405,28 @@ def _pow2(n: int) -> int:
 
 
 def _expand_tables(mesh: Mesh, km, ct, old_cap: int, new_cap: int):
-    """Grow each shard's table region from old_cap to new_cap slots,
-    preserving contents (sorted entries first, sentinel padding after —
-    the layout the merge step maintains). Shard ownership is
-    hash % n_devices, independent of capacity, so no re-routing."""
-    D = mesh.shape["data"] * mesh.shape["shard"]
-    km_h = np.asarray(km).reshape(D, old_cap)
-    ct_h = np.asarray(ct).reshape(D, old_cap)
-    km_n = np.full((D, new_cap), SENTINEL, dtype=np.uint64)
-    ct_n = np.zeros((D, new_cap), dtype=np.int64)
-    km_n[:, :old_cap] = km_h
-    ct_n[:, :old_cap] = ct_h
-    s = NamedSharding(mesh, P(("data", "shard")))
-    return (
-        jax.device_put(km_n.reshape(-1), s),
-        jax.device_put(ct_n.reshape(-1), s),
+    """Grow each shard's table region from old_cap to new_cap slots ON
+    DEVICE, preserving contents (sorted entries first, sentinel padding
+    after — the layout the merge step maintains). Shard ownership is
+    hash % n_devices, independent of capacity, so no re-routing and no
+    host round-trip (round-3 finding: the old np.asarray expansion was
+    a host-memory cliff at the 122 M-k-mer scale)."""
+    pad = new_cap - old_cap
+
+    def grow(kml, ctl):
+        return (
+            jnp.concatenate([kml, jnp.full((pad,), SENTINEL, jnp.uint64)]),
+            jnp.concatenate([ctl, jnp.zeros((pad,), jnp.int64)]),
+        )
+
+    from jax import shard_map
+
+    spec = P(("data", "shard"))
+    fn = shard_map(
+        grow, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec),
+        check_vma=False,
     )
+    return jax.jit(fn)(km, ct)
 
 
 def init_sharded_table(mesh: Mesh, table_cap: int):
@@ -376,6 +507,35 @@ def build_sharded_em_step(mesh: Mesh):
             P(),
         ),
         out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step_sharded)
+
+
+def build_sharded_ll_step(mesh: Mesh):
+    """Log-likelihood of data-sharded allele frequencies under the
+    current (replicated) GMM params: local partial sum + psum. The
+    initial-ll companion of build_sharded_em_step for the host-side
+    emIterate loop (src/GmmModel.cpp:379-394)."""
+    from jax import shard_map
+
+    from ..model.gmm import DBL_MIN
+
+    def step(af, mask, means, weights, variances):
+        d = af[:, None] - means[None, :]
+        p = (
+            1.0 / jnp.sqrt(2.0 * jnp.pi * variances)[None, :]
+            * jnp.exp(-(d * d) / (2.0 * variances)[None, :])
+        )
+        s = jnp.sum(weights[None, :] * p, axis=1)
+        s = jnp.where(s == 0.0, DBL_MIN, s)
+        return jax.lax.psum(jnp.sum(jnp.log(s) * mask), ("data", "shard"))
+
+    step_sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(("data", "shard")), P(("data", "shard")), P(), P(), P()),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(step_sharded)

@@ -196,9 +196,13 @@ def run_colored_analysis(opt) -> int:
     g.set_unitig_id(opt.outprefix)
     write_graph_info_colored(g, colors, opt.outprefix, opt.verbose)
 
+    from .parallel.mesh import resolve_mesh
+
     _log("CCDBG::findSuperBubble(): Finding superbubbles")
     t0 = time.time()
-    state, bubbles = find_superbubbles(g, opt.complex_size, colors)
+    state, bubbles = find_superbubbles(
+        g, opt.complex_size, colors, mesh=resolve_mesh()
+    )
     write_superbubble_file(g, bubbles, opt.outprefix)
     _log(f"CCDBG::findSuperBubble(): Real time : {time.time() - t0}s")
     _log(f"CCDBG::findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
@@ -270,10 +274,14 @@ def run_analysis(opt) -> int:
 
     from .util.profiling import maybe_trace
 
+    from .parallel.mesh import resolve_mesh
+
     _log("findSuperBubble(): Finding superbubbles")
     t0 = time.time()
     with maybe_trace("findSuperBubble"):
-        state, bubbles = find_superbubbles(g, opt.complex_size)
+        state, bubbles = find_superbubbles(
+            g, opt.complex_size, mesh=resolve_mesh()
+        )
     write_superbubble_file(g, bubbles, opt.outprefix)
     _log(f"findSuperBubble(): Real time : {time.time() - t0}s")
     _log(f"findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
@@ -340,7 +348,7 @@ def build_colored_graph_cli(opt) -> int:
     from .graph.colors import color_graph
     from .graph.construct import build_graph_from_kmers, simplify
     from .io.fastx import read_batches
-    from .kmer.count import KmerCounter
+    from .parallel.mesh import make_counter
 
     if not opt.inputs:
         print("Error: no input samples", file=sys.stderr)
@@ -350,7 +358,7 @@ def build_colored_graph_cli(opt) -> int:
     names = []
     for sample in opt.inputs:
         files = sample.split(",")
-        counter = KmerCounter(opt.k)
+        counter = make_counter(opt.k)
         for batch in read_batches(files, opt.k):
             counter.add_reads(batch)
         km, ct = counter.arrays()
@@ -381,9 +389,9 @@ def run_multisample_pipeline_cli(opt) -> int:
     from .graph.colors import color_graph
     from .graph.construct import build_graph_from_kmers, simplify
     from .io.fastx import read_batches
-    from .kmer.count import KmerCounter
     from .kmer.cutoffs import cutoff_lower_from_counts, cutoff_upper_from_counts
     from .model.gmm import run_model
+    from .parallel.mesh import make_counter
 
     if not opt.inputs:
         print("Error: no input samples", file=sys.stderr)
@@ -398,7 +406,7 @@ def run_multisample_pipeline_cli(opt) -> int:
     ) as covfile:
         for i, sample in enumerate(opt.inputs):
             files = sample.split(",")
-            counter = KmerCounter(opt.k)
+            counter = make_counter(opt.k)
             trim = getattr(opt, "trim", None)
             for batch in read_batches(files, opt.k, trim=trim):
                 counter.add_reads(batch)
@@ -461,10 +469,10 @@ def run_pipeline_cli(opt) -> int:
         print("Error: no input reads", file=sys.stderr)
         return 1
     from .io.fastx import read_batches
-    from .kmer.count import KmerCounter
     from .graph.construct import build_graph_from_kmers, simplify
+    from .parallel.mesh import make_counter
 
-    counter = KmerCounter(opt.k)
+    counter = make_counter(opt.k)
     for batch in read_batches(opt.inputs, opt.k, trim=getattr(opt, "trim", None)):
         counter.add_reads(batch)
     counter.write_histogram(opt.outprefix + ".hist.txt")

@@ -17,3 +17,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# pin the CLI/pipeline surface to the single-device path by default:
+# with 8 virtual devices visible, auto-mesh would otherwise flip every
+# test onto the sharded path. Mesh tests opt in via --devices=N.
+os.environ.setdefault("PLOIDYFROST_DEVICES", "1")

@@ -123,6 +123,41 @@ def test_construct_simple_genome():
     assert g.nb_kmers() == len(kms)
 
 
+@pytest.mark.parametrize("seed", list(range(12)))
+def test_simplify_fast_matches_rebuild(seed):
+    """The unitig-level surgical simplify must equal the full
+    recompaction of the surviving k-mer set byte-for-byte (same
+    sequences, same lexicographic order) whenever it does not bail."""
+    from ploidyfrost_tpu.graph.construct import (
+        _simplify_fast,
+        _simplify_rebuild,
+    )
+
+    rng = np.random.default_rng(seed + 100)
+    k = 5
+    seqs = [
+        "".join("ACGT"[c] for c in rng.integers(0, 4, rng.integers(k, 60)))
+        for _ in range(rng.integers(3, 14))
+    ]
+    kms = genome_kmers(seqs, k)
+    if not kms:
+        pytest.skip("no kmers")
+    g = build_graph_from_kmers(str_kmers_to_ints(kms, k), k)
+    lens = g.store.lengths
+    deg_fw = g._out_deg[:, 1]
+    deg_bw = g._out_deg[:, 0]
+    drop = np.asarray((lens < 2 * k) & ((deg_fw == 0) | (deg_bw == 0)))
+    if not drop.any():
+        pytest.skip("nothing to simplify")
+    fast = _simplify_fast(g, k, drop)
+    full = _simplify_rebuild(g, k, drop)
+    if fast is None:
+        return  # bail case: simplify() takes the rebuild path
+    assert list(fast.seqs) == list(full.seqs)
+    # and the public entry agrees with the oracle either way
+    assert list(simplify(g, k).seqs) == list(full.seqs)
+
+
 def test_construct_snp_bubble():
     """Two haplotypes differing at one site -> entrance, two branches, exit."""
     k = 5
