@@ -78,3 +78,12 @@ from ploidyfrost_tpu.graph.cdbg import CDBGraph
 t0 = time.time()
 g = CDBGraph(store2, K)
 print(f"cdbg(adj): {time.time()-t0:.1f}s", flush=True)
+
+from ploidyfrost_tpu.graph.construct import _simplify_fast, _simplify_rebuild
+lens = g.store.lengths
+deg_fw = g._out_deg[:, 1]; deg_bw = g._out_deg[:, 0]
+drop = np.asarray((lens < 2*K) & ((deg_fw == 0) | (deg_bw == 0)))
+print(f"drop candidates: {int(drop.sum())}", flush=True)
+t0 = time.time()
+fast = _simplify_fast(g, K, drop)
+print(f"simplify_fast: {time.time()-t0:.1f}s -> {'ok '+str(len(fast)) if fast is not None else 'BAIL'}", flush=True)

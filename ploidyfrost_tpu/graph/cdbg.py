@@ -257,22 +257,37 @@ class CDBGraph:
             f.write(
                 f"H\tVN:Z:1.0\tBV:Z:{bfg_version}\tKL:Z:{k}\tML:Z:{self.g}\n"
             )
-            for i, s in enumerate(self.store.decode_all()):
-                da = f"\tDA:Z:{da_ids[i]}" if da_ids is not None else ""
-                f.write(f"S\t{i + 1}\t{s}\tLN:i:{len(s)}{da}\n")
-            for i in range(self.n):
-                for strand in (True, False):
-                    for h in self.successors(i, strand):
-                        # emit each edge once from the forward perspective
-                        f.write(
-                            "L\t{}\t{}\t{}\t{}\t{}M\n".format(
-                                i + 1,
-                                "+" if strand else "-",
-                                h.idx + 1,
-                                "+" if h.strand else "-",
-                                k - 1,
-                            )
-                        )
+            seqs = self.store.decode_all()
+            if da_ids is not None:
+                f.write(
+                    "".join(
+                        f"S\t{i + 1}\t{s}\tLN:i:{len(s)}\tDA:Z:{da_ids[i]}\n"
+                        for i, s in enumerate(seqs)
+                    )
+                )
+            else:
+                f.write(
+                    "".join(
+                        f"S\t{i + 1}\t{s}\tLN:i:{len(s)}\n"
+                        for i, s in enumerate(seqs)
+                    )
+                )
+            # L lines in (unitig asc, strand + then -, base slot) order,
+            # straight off the packed successor array — the per-edge
+            # handle-object loop was the slowest part of writing large
+            # graphs
+            succ = np.asarray(self._succ)[:, ::-1, :].reshape(-1)
+            pos = np.flatnonzero(succ >= 0)
+            tgt = succ[pos]
+            src = (pos // 8 + 1).tolist()
+            sstr = np.where(pos % 8 < 4, "+", "-").tolist()
+            ov = f"{k - 1}M"
+            f.write(
+                "".join(
+                    f"L\t{a}\t{b}\t{(t >> 1) + 1}\t{'+' if t & 1 else '-'}\t{ov}\n"
+                    for a, b, t in zip(src, sstr, tgt.tolist())
+                )
+            )
 
     # -- reference-parity outputs -----------------------------------------
 

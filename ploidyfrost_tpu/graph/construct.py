@@ -36,6 +36,21 @@ from .cdbg import CDBGraph, revcomp
 
 
 def _revcomp_np(kmers: np.ndarray, k: int) -> np.ndarray:
+    if len(kmers) > (1 << 20):
+        from ..native import load_construct_library
+
+        lib = load_construct_library()
+        if lib is not None:
+            import ctypes
+
+            src = np.ascontiguousarray(kmers, dtype=np.uint64)
+            out = np.empty_like(src)
+            p = ctypes.POINTER(ctypes.c_uint64)
+            lib.pf_revcomp(
+                src.ctypes.data_as(p), ctypes.c_int64(len(src)),
+                ctypes.c_int32(k), out.ctypes.data_as(p),
+            )
+            return out
     x = (~kmers).astype(np.uint64)
     for shift, mask in (
         (2, 0x3333333333333333),
@@ -536,15 +551,21 @@ def _lex_perm(store) -> np.ndarray:
     return perm
 
 
-def _stub_links(suf0: np.ndarray, suf1: np.ndarray, kj: int):
+def _stub_links(
+    suf0: np.ndarray, suf1: np.ndarray, kj: int, affected_jc: np.ndarray
+):
     """Junction-run linking over UNITIG-END stubs: the unitig-level
     twin of _links_junctions (a whole unitig behaves exactly like one
-    k-mer whose two oriented suffixes are its end (k-1)-mers). Returns
-    (nxt_node over packed 2i+o nodes, ok). ok=False bails to the full
-    recompaction: palindromic junctions (whose k-mer-level resolution
-    probes the k-mer table) and self-joins (a unitig closing into a
-    circle, which the full rebuild would re-rotate to its minimum
-    k-mer) are not resolvable at this level."""
+    k-mer whose two oriented suffixes are its end (k-1)-mers).
+
+    Only junctions in `affected_jc` (sorted canonical junction keys
+    that LOST a stub to the drop) may change state — every other
+    junction keeps its original build-time resolution, so pal stubs,
+    self-pairs, or apparent 1-1 runs there are left strictly alone.
+    Returns (nxt_node over packed 2i+o nodes, bail-reason-or-None);
+    bailing falls back to the full recompaction: an AFFECTED junction
+    with a palindromic stub needs the k-mer-level probes, an affected
+    self-join closes a circular unitig the rebuild would re-rotate."""
     m = len(suf0)
     suf = np.empty(2 * m, dtype=np.uint64)
     suf[0::2] = suf0
@@ -562,34 +583,45 @@ def _stub_links(suf0: np.ndarray, suf1: np.ndarray, kj: int):
         run_start[1:] = js[1:] != js[:-1]
     run_id = np.cumsum(run_start) - 1
     n_runs = int(run_id[-1]) + 1 if len(js) else 0
+    starts = np.flatnonzero(run_start)
     pol_o = pol[order]
     pal_o = pal[order]
     nf = np.bincount(run_id[pol_o], minlength=n_runs)
     nr = np.bincount(run_id[~pol_o], minlength=n_runs)
-    linkable = (nf == 1) & (nr == 1)
+    pos = np.searchsorted(affected_jc, js[starts])
+    pos = np.clip(pos, 0, max(len(affected_jc) - 1, 0))
+    affected = (
+        affected_jc[pos] == js[starts]
+        if len(affected_jc)
+        else np.zeros(n_runs, dtype=bool)
+    )
+    linkable = (nf == 1) & (nr == 1) & affected
 
     nxt = np.full(2 * m, -1, dtype=np.int64)
-    # any SHARED junction containing a palindromic stub (polarity
-    # meaningless there) is k-mer-level probe territory: bail. A pal
-    # stub alone at its junction can never link — safe to ignore.
     if pal_o.any():
         pal_runs = np.zeros(n_runs, dtype=bool)
         np.logical_or.at(pal_runs, run_id, pal_o)
-        if (pal_runs & (nf + nr >= 2)).any():
-            return nxt, False
+        if (pal_runs & affected & (nf + nr >= 2)).any():
+            return nxt, "palindromic stub in an affected junction"
         linkable &= ~pal_runs
     if linkable.any():
-        starts = np.flatnonzero(run_start)
         s2 = starts[linkable]
         a_pos = np.where(pol_o[s2], s2, s2 + 1)
         b_pos = np.where(pol_o[s2], s2 + 1, s2)
         a_node = order[a_pos]
         b_node = order[b_pos]
         if ((a_node >> 1) == (b_node >> 1)).any():
-            return nxt, False  # circular unitig: needs the rebuild
+            return nxt, "self-join (circular unitig)"
         nxt[a_node] = b_node ^ 1
         nxt[b_node] = a_node ^ 1
-    return nxt, True
+    return nxt, None
+
+
+def _log_simplify_bail(reason: str) -> None:
+    import sys
+
+    print(f"simplify: unitig-level fast path bailed ({reason}); "
+          "recompacting the k-mer set", file=sys.stderr, flush=True)
 
 
 def _simplify_fast(g: CDBGraph, k: int, drop: np.ndarray):
@@ -603,12 +635,24 @@ def _simplify_fast(g: CDBGraph, k: int, drop: np.ndarray):
     if len(kept) == 0:
         return CDBGraph([], k)
     mask_j = np.uint64((1 << (2 * (k - 1))) - 1)
-    head = store.head_kmers(k)[kept]
-    tail = store.tail_kmers(k)[kept]
+    head_all = store.head_kmers(k)
+    tail_all = store.tail_kmers(k)
+    head = head_all[kept]
+    tail = tail_all[kept]
     suf0 = tail & mask_j
     suf1 = _revcomp_np(head, k) & mask_j
-    nxt, ok = _stub_links(suf0, suf1, k - 1)
-    if not ok:
+    # junctions that LOSE a stub: the dropped unitigs' end junctions
+    dropped = np.flatnonzero(drop)
+    dsuf = np.concatenate(
+        [
+            tail_all[dropped] & mask_j,
+            _revcomp_np(head_all[dropped], k) & mask_j,
+        ]
+    )
+    affected_jc = np.unique(np.minimum(dsuf, _revcomp_np(dsuf, k - 1)))
+    nxt, bail = _stub_links(suf0, suf1, k - 1, affected_jc)
+    if bail is not None:
+        _log_simplify_bail(bail)
         return None
     if not (nxt >= 0).any():
         # pure drop: a subset of a lex-sorted store stays lex-sorted
@@ -620,7 +664,8 @@ def _simplify_fast(g: CDBGraph, k: int, drop: np.ndarray):
     starts = np.flatnonzero(chain_start)
     ends = np.append(starts[1:], len(order))
     if (nxt_orig[order[ends - 1]] >= 0).any():
-        return None  # a join closed a cycle: needs the rebuild
+        _log_simplify_bail("join closed a cycle")
+        return None
     head_nodes = order[starts]
     tail_nodes = order[ends - 1]
     keep_chain = head_nodes <= (tail_nodes ^ 1)

@@ -71,10 +71,32 @@ def _extract(codes, k):
     return hi, lo, jnp.sum(valid, dtype=jnp.int64)
 
 
-@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
-def _extract_append(bhi, blo, nvalid, codes, fill, k):
+def _unpack_nibbles(packed):
+    """[B, L/2] u8 (two 4-bit base codes per byte, low nibble first) ->
+    [B, L] u8 codes. The inverse of the host-side _pack_nibbles: the
+    tunnel to a remote TPU moves ~35 MB/s, so read batches travel at 2
+    codes/byte and unpack on device (one cheap vector op)."""
+    import jax.numpy as jnp
+
+    B, H = packed.shape
+    lo = packed & jnp.uint8(0x0F)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(B, 2 * H)
+
+
+def _pack_nibbles_host(codes: np.ndarray) -> np.ndarray:
+    """[B, L] u8 codes (values <= 0xF) -> [B, L/2] u8, L even."""
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1))
+def _extract_append(bhi, blo, nvalid, codes, fill, k, packed=False):
     """Fused pack + canonicalize + buffer append: ONE dispatch per read
-    batch (dispatch latency through remote-device tunnels is material)."""
+    batch (dispatch latency through remote-device tunnels is material).
+    With packed=True, `codes` arrives nibble-packed (2 codes/byte) and
+    unpacks on device first."""
+    if packed:
+        codes = _unpack_nibbles(codes)
     canon, valid = batch_kmers(codes, k)
     canon = canon.ravel()
     valid = valid.ravel()
@@ -85,13 +107,15 @@ def _extract_append(bhi, blo, nvalid, codes, fill, k):
     return bhi, blo, nvalid + jnp.sum(valid, dtype=jnp.int64)
 
 
-@functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
-def _extract_append_pallas(bhi, blo, nvalid, codes, fill, k):
+@functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1))
+def _extract_append_pallas(bhi, blo, nvalid, codes, fill, k, packed=False):
     """_extract_append with the fused Pallas extraction kernel
     (kmer/pallas_extract.py) supplying the (hi, lo) halves directly —
     no 64-bit emulation on the TPU VPU. Selected by _extract_backend."""
     from .pallas_extract import kernel_call
 
+    if packed:
+        codes = _unpack_nibbles(codes)
     hi, lo = kernel_call(codes, k)
     hi = hi.ravel()
     lo = lo.ravel()
@@ -146,8 +170,12 @@ def _collapse(thi, tlo, tct, bhi, blo, counter_max):
     Returns (hi, lo, ct, n_unique) where n_unique is the TRUE number of
     distinct keys (may exceed the table capacity => host must grow and
     replay). Sentinel keys (invalid k-mers / padding) sort last and are
-    excluded. All reductions are sorts + cumsums + small gathers — no
-    scatters (measured ~10-100x slower than sort on v5e).
+    excluded. All reductions are sorts, cumsums and SHIFTS — no
+    scatters and no large random gathers: both measure ~140 ns/element
+    on v5e vs ~2 ns/element/operand for sort, so run compaction CARRIES
+    values through a (key, values...) sort instead of gathering by
+    compacted index (the gather formulation made a 64M-cap collapse
+    ~20x slower than an 8M-cap one).
     """
     cap = thi.shape[0]
     nb = bhi.shape[0]
@@ -159,25 +187,25 @@ def _collapse(thi, tlo, tct, bhi, blo, counter_max):
     )
     seg = jnp.cumsum(first, dtype=jnp.int32) - 1
     ar = jnp.arange(nb, dtype=jnp.int32)
-    # compact run starts to the front with a (key, pos) sort
-    key = jnp.where(first, seg, _I32_MAX)
-    _, starts_all = jax.lax.sort((key, ar), num_keys=1)
     n_runs = seg[-1] + 1
     m = min(cap, nb)
-    starts = starts_all[:m]
+    # compact run starts to the front, carrying (h, l, position) through
+    # the sort; run length = next start position - own position (a shift)
+    key = jnp.where(first, seg, _I32_MAX)
+    _, hs, ls, ps = jax.lax.sort((key, h, l, ar), num_keys=1)
     r = jnp.arange(m, dtype=jnp.int32)
     in_range = r < n_runs
-    nxt = jnp.where(r + 1 < n_runs, starts_all[jnp.minimum(r + 1, nb - 1)], nb)
-    bcnt = jnp.where(in_range, nxt - starts, 0).astype(jnp.int32)
-    sidx = jnp.minimum(starts, nb - 1)
-    buhi = jnp.where(in_range, h[sidx], SENT32)
-    bulo = jnp.where(in_range, l[sidx], SENT32)
+    nxt = jnp.where(
+        r + 1 < n_runs, jnp.concatenate([ps[1:m], np.array([0], np.int32)]), nb
+    )
+    bcnt = jnp.where(in_range, nxt - ps[:m], 0).astype(jnp.int32)
+    buhi = jnp.where(in_range, hs[:m], SENT32)
+    bulo = jnp.where(in_range, ls[:m], SENT32)
     # the sentinel run (if present) is the last run: zero it out
-    is_sent = buhi == SENT32
-    bcnt = jnp.where(is_sent, 0, bcnt)
+    bcnt = jnp.where(buhi == SENT32, 0, bcnt)
     buf_uniq_overflowed = n_runs > m  # only matters if non-sentinel runs lost
 
-    # ---- merge with the resident unique table (small 3-op sort) -------
+    # ---- merge with the resident unique table -------------------------
     mh = jnp.concatenate([thi, buhi])
     ml = jnp.concatenate([tlo, bulo])
     mc = jnp.concatenate([tct, bcnt])
@@ -187,28 +215,29 @@ def _collapse(thi, tlo, tct, bhi, blo, counter_max):
         [jnp.ones(1, bool), (mh[1:] != mh[:-1]) | (ml[1:] != ml[:-1])]
     )
     seg2 = jnp.cumsum(f2, dtype=jnp.int32) - 1
-    ar2 = jnp.arange(n2, dtype=jnp.int32)
-    key2 = jnp.where(f2, seg2, _I32_MAX)
-    _, st2 = jax.lax.sort((key2, ar2), num_keys=1)
-    stc = st2[:cap]
-    rr = jnp.arange(cap, dtype=jnp.int32)
     n_runs2 = seg2[-1] + 1
     # count of distinct keys, EXCLUDING the merged sentinel run
     sent_present = mh[-1] == SENT32
     n_uniq = n_runs2 - sent_present.astype(jnp.int32)
-    in2 = rr < n_uniq
     # each merged run has AT MOST 2 contributors (the resident table and
-    # the buffer-uniq list are each internally unique), so a run's count
-    # is mc[start] (+ mc[start+1] for length-2 runs) — two gathers, no
-    # 64-bit cumsum over the merge
-    sidx2 = jnp.minimum(stc, n2 - 1)
-    pair = jnp.minimum(stc + 1, n2 - 1)
-    has2 = jnp.logical_not(f2[pair]) & (pair > stc)
-    uct = mc[sidx2] + jnp.where(has2, mc[pair], 0)
+    # the buffer-uniq list are each internally unique), so a run's total
+    # at its START is mc[i] + (mc[i+1] if the next row continues the
+    # run) — one shift, evaluated elementwise before compaction
+    next_cont = jnp.concatenate([~f2[1:], np.array([False])])
+    csum = mc + jnp.where(
+        next_cont, jnp.concatenate([mc[1:], np.array([0], mc.dtype)]), 0
+    )
+    # compact run starts, carrying (mh, ml, csum) through the sort
+    key2 = jnp.where(f2, seg2, _I32_MAX)
+    _, mhs, mls, mcs = jax.lax.sort((key2, mh, ml, csum), num_keys=1)
+    rr = jnp.arange(cap, dtype=jnp.int32)
+    in2 = rr < n_uniq
     # KMC -cs saturation; also keeps cross-collapse sums in int32 range
-    uct = jnp.where(in2, jnp.minimum(uct, counter_max), 0).astype(jnp.int32)
-    uhi = jnp.where(in2, mh[sidx2], SENT32)
-    ulo = jnp.where(in2, ml[sidx2], SENT32)
+    uct = jnp.where(in2, jnp.minimum(mcs[:cap], counter_max), 0).astype(
+        jnp.int32
+    )
+    uhi = jnp.where(in2, mhs[:cap], SENT32)
+    ulo = jnp.where(in2, mls[:cap], SENT32)
     n_uniq = n_uniq + jnp.where(buf_uniq_overflowed, cap + 1, 0)
     return uhi, ulo, uct, n_uniq
 
@@ -302,25 +331,34 @@ class KmerCounter:
 
     def add_reads(self, codes: np.ndarray):
         """Count all canonical k-mers of a [B, L] uint8 code batch."""
-        codes = jnp.asarray(codes)
-        n = codes.shape[0] * (codes.shape[1] - self.k + 1)
+        shape = codes.shape
+        n = shape[0] * (shape[1] - self.k + 1)
+        # host batches travel nibble-packed to remote accelerators:
+        # the tunnel moves ~35 MB/s, so halving the bytes halves the
+        # dominant ingest cost; unpacking is one device vector op
+        packed = (
+            isinstance(codes, np.ndarray)
+            and shape[1] % 2 == 0
+            and jax.default_backend() != "cpu"
+        )
         if n > self._buf_cap:
-            hi, lo, nv = _extract(codes, self.k)
+            hi, lo, nv = _extract(jnp.asarray(codes), self.k)
             self._n_valid_dev = self._n_valid_dev + nv
             self._push(hi, lo)
             return
         if self._fill + n > self._buf_cap:
             self.flush()
+        dev = jnp.asarray(_pack_nibbles_host(codes) if packed else codes)
         # fast path: fused pack+canon+append, one dispatch per batch;
         # on TPU the extraction inside is the Pallas kernel
         step = (
             _extract_append_pallas
-            if _extract_backend(codes.shape, self.k)
+            if _extract_backend(shape, self.k)
             else _extract_append
         )
         self._bhi, self._blo, self._n_valid_dev = step(
-            self._bhi, self._blo, self._n_valid_dev, codes,
-            jnp.int32(self._fill), self.k,
+            self._bhi, self._blo, self._n_valid_dev, dev,
+            jnp.int32(self._fill), self.k, packed,
         )
         self._fill += n
 
@@ -390,13 +428,18 @@ class KmerCounter:
     # -- finalization / views ---------------------------------------------
 
     def arrays(self):
-        """(sorted unique canonical k-mers u64, saturated counts) trimmed
-        to live size."""
+        """(sorted unique canonical k-mers u64, saturated counts int64)
+        trimmed to live size, as HOST numpy arrays. Counts cross the
+        wire as int32 (saturation cap 10000 makes int64 transfer pure
+        padding — the remote tunnel moves ~35 MB/s) and upcast on host
+        so callers keep int64 semantics."""
         self.flush()
         n = self._n_live
-        km = _join_u64(self._thi[:n], self._tlo[:n])
-        ct = jnp.minimum(self._tct[:n], self.counter_max).astype(jnp.int64)
-        return km, ct
+        km = np.asarray(_join_u64(self._thi[:n], self._tlo[:n]))
+        ct = np.asarray(
+            jnp.minimum(self._tct[:n], self.counter_max).astype(jnp.int32)
+        )
+        return km, ct.astype(np.int64)
 
     def histogram(self, max_cov: int | None = None) -> np.ndarray:
         """KMC-style histogram: hist[c] = number of distinct k-mers with

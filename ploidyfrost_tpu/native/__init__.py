@@ -154,6 +154,8 @@ def load_construct_library():
             u64p, u64p, ctypes.c_int32, u64p, i64p,
         ]
         lib.pf_assemble_unitigs.restype = None
+        lib.pf_revcomp.argtypes = [u64p, ctypes.c_int64, ctypes.c_int32, u64p]
+        lib.pf_revcomp.restype = None
 
     return _load_simple(
         "construct_kernels.cpp", "libpfconstruct.so", _construct_state, sig

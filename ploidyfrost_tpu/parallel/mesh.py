@@ -120,5 +120,5 @@ def make_counter(k: int, **kw):
         # instead of ~50) and a genome-scale initial table skips the
         # early growth-replay ladder
         kw.setdefault("initial_capacity", 8 << 20)
-        kw.setdefault("buffer_capacity", 128 << 20)
+        kw.setdefault("buffer_capacity", 192 << 20)
     return KmerCounter(k, **kw)

@@ -226,7 +226,6 @@ def collect_align_jobs(
     iterates just those instead of all n unitigs.
     """
     jobs: list[_AlignJob] = []
-    var_count = 0
     candidates = np.flatnonzero(state.flags & 0x03)
     if len(candidates) > len(g) // 8:
         # the walk reads entrance/exit/branch strings of ~every bubble:
@@ -280,11 +279,10 @@ def collect_align_jobs(
                     covs = [covs[i] for i in order]
                     branches = [branches[i] for i in order]
                     str_vec = [b.mapped_seq for b in branches]
-                    var_count += 1
                     jobs.append(
                         _AlignJob(
                             str_vec,
-                            var_count,
+                            0,  # VarId assigned post-alignment
                             True,
                             int(g.ids[ui]),
                             int(g.ids[exit_h.idx]),
@@ -318,11 +316,20 @@ def collect_align_jobs(
                     continue
                 str_vec = _enumerate_paths(g, u, exit_h)
                 str_vec = _sorted_desc_by_len_then_str(str_vec)
-                var_count += 1
+                if not str_vec:
+                    # the reference consumes a VarId (and core-coverage
+                    # slot) only for non-empty enumerations
+                    # (src/CDBG.cpp:1424-1431 `if (str_vec.size() != 0)`)
+                    state.set_visited(ui, strand)
+                    if exit_h.strand:
+                        state.set_visited(exit_h.idx, False)
+                    else:
+                        state.set_visited(exit_h.idx, True)
+                    continue
                 jobs.append(
                     _AlignJob(
                         str_vec,
-                        var_count,
+                        0,  # VarId assigned post-alignment
                         False,
                         int(g.ids[ui]),
                         int(g.ids[exit_h.idx]),
@@ -487,13 +494,25 @@ def analyze_bubbles(
 
     emissions: list[BubbleEmission] = []
     window_strings: list[str] = []
+    # VarIds are consumed POST-alignment: when every co-optimal
+    # traceback dies on the 5-indel-run cap, compareStrPair returns an
+    # empty vector, SequenceAlignment assigns it back into str_vec, and
+    # the reference's `if (str_vec.size() != 0)` consumes no id and
+    # emits nothing (src/SeqAlign.cpp:639 + src/CDBG.cpp:1424-1431)
+    var_count = 0
     for job, fa, fsnp in zip(jobs, firsts, fast):
         if fsnp is not None:
+            var_count += 1
+            job.var_id = var_count
             emissions.append(_emit_fast(job, fsnp, k, window_strings))
         else:
-            emissions.append(
-                _emit_generic(job, seqalign, k, window_strings, fa)
+            em = _emit_generic(
+                job, seqalign, k, window_strings, fa, var_count + 1
             )
+            if em is None:
+                continue
+            var_count += 1
+            emissions.append(em)
     return emissions, window_strings
 
 
@@ -503,12 +522,19 @@ def _emit_generic(
     k: int,
     window_strings: list[str],
     first_align=None,
-) -> BubbleEmission:
+    var_id: int = 0,
+) -> BubbleEmission | None:
     """Generic emission for one job: progressive MSA + compareStrPair +
-    per-column site extraction (src/CDBG.cpp:2050-2147, 2331-2473)."""
+    per-column site extraction (src/CDBG.cpp:2050-2147, 2331-2473).
+    Returns None when the alignment survives no co-optimal traceback
+    (empty compareStrPair result) — the reference then consumes no
+    VarId (see analyze_bubbles)."""
     rows, snp_pos, indel_pos, partition, indel_len = (
         seqalign.sequence_alignment(job.str_vec, first_align=first_align)
     )
+    if not rows:
+        return None
+    job.var_id = var_id
     be = BubbleEmission(
         job.var_id,
         job.is_strict,

@@ -190,7 +190,6 @@ def _collect_colored_jobs(
     alignment deferred (same job-collection structure as emit.py)."""
     C = colors.n_colors
     jobs: list[_ColoredAlignJob] = []
-    var_count = 0
 
     for ui in np.flatnonzero(state.flags & 0x03):
         ui = int(ui)
@@ -269,11 +268,10 @@ def _collect_colored_jobs(
                     branches = [branches[i] for i in order]
                     cov_vec = cov_vec[:, order]
                     str_vec = [b.mapped_seq for b in branches]
-                    var_count += 1
                     jobs.append(
                         _ColoredAlignJob(
                             str_vec,
-                            var_count,
+                            0,  # VarId assigned post-alignment
                             True,
                             int(g.ids[ui]),
                             int(g.ids[exit_h.idx]),
@@ -305,11 +303,19 @@ def _collect_colored_jobs(
                     continue
                 str_vec = _enumerate_paths(g, u, exit_h)
                 str_vec = _sorted_desc_by_len_then_str(str_vec)
-                var_count += 1
+                if not str_vec:
+                    # a VarId is consumed only for non-empty enumerations
+                    # (src/CCDBG.cpp:1002-1007 `if (str_vec.size() != 0)`)
+                    state.set_visited(ui, strand)
+                    if exit_h.strand:
+                        state.set_visited(exit_h.idx, False)
+                    else:
+                        state.set_visited(exit_h.idx, True)
+                    continue
                 jobs.append(
                     _ColoredAlignJob(
                         str_vec,
-                        var_count,
+                        0,  # VarId assigned post-alignment
                         False,
                         int(g.ids[ui]),
                         int(g.ids[exit_h.idx]),
@@ -371,10 +377,18 @@ def analyze_bubbles_colored(
         )
 
     emissions: list[ColoredBubbleEmission] = []
+    # VarIds are consumed POST-alignment: an empty compareStrPair result
+    # (all co-optimal tracebacks over the 5-indel-run cap) consumes no
+    # id and emits nothing (src/CCDBG.cpp:2945-2947)
+    var_count = 0
     for job, fa in zip(jobs, firsts):
         rows, snp_pos, indel_pos, partition, indel_len = (
             seqalign.sequence_alignment(job.str_vec, first_align=fa)
         )
+        if not rows:
+            continue
+        var_count += 1
+        job.var_id = var_count
         be = ColoredBubbleEmission(
             job.var_id,
             job.is_strict,

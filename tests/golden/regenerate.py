@@ -100,6 +100,26 @@ def regen_single(ref_bin: str, dest: str):
     print(f"single_diploid fixtures refreshed (workdir kept: {d})")
 
 
+def regen_indel(ref_bin: str, dest: str):
+    from test_golden_indel import make_indel_reads, prepare_inputs
+
+    from ploidyfrost_tpu.io.kmc import write_kmc_db
+
+    d = tempfile.mkdtemp(prefix="golden_indel_")
+    make_indel_reads(os.path.join(d, "reads.fa"))
+    km, ct, lower, upper = prepare_inputs(d)
+    print(f"indel_dense cutoffs: ({lower}, {upper}) — pin in test")
+    write_kmc_db(os.path.join(d, "mydb"), km, ct, 25)
+    run([ref_bin, "-g", "mygraph.gfa", "-d", "mydb", "-o", "gold",
+         "-t", "1", "-l", str(lower), "-u", str(upper)], cwd=d)
+    outdir = os.path.join(d, "PloidyFrost_output")
+    run([ref_bin, "model",
+         "-g", os.path.join(outdir, "gold_allele_frequency.txt"),
+         "-o", os.path.join(outdir, "gold")], cwd=d)
+    copy_tables(outdir, dest)
+    print(f"indel_dense fixtures refreshed (workdir kept: {d})")
+
+
 def regen_colored(ref_bin: str, dest: str):
     import numpy as np
 
@@ -156,7 +176,7 @@ def regen_colored(ref_bin: str, dest: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--refbuild", default=os.path.join(REPO, ".refbuild"))
-    ap.add_argument("--only", choices=["single", "colored"])
+    ap.add_argument("--only", choices=["single", "colored", "indel"])
     args = ap.parse_args()
     ref_bin = build_reference(args.refbuild)
     here = os.path.dirname(os.path.abspath(__file__))
@@ -164,6 +184,8 @@ def main():
         regen_single(ref_bin, os.path.join(here, "single_diploid"))
     if args.only in (None, "colored"):
         regen_colored(ref_bin, os.path.join(here, "multi_colored"))
+    if args.only in (None, "indel"):
+        regen_indel(ref_bin, os.path.join(here, "indel_dense"))
 
 
 if __name__ == "__main__":

@@ -80,7 +80,7 @@ def test_fast_matches_generic(strict):
         wf: list = []
         wg: list = []
         be_f = _emit_fast(job, fsnp, 25, wf)
-        be_g = _emit_generic(job, sa, 25, wg)
+        be_g = _emit_generic(job, sa, 25, wg, var_id=job.var_id)
         _assert_same(be_f, be_g)
         assert wf == wg
     assert n_fast > 100  # the gate admits the dominant population

@@ -180,3 +180,38 @@ def test_cutoff_roundtrip_files(tmp_path):
     # cf = 0.998*(235-100)+100 = 234.73; cum=[0,100,150,170,180,195,225,235]
     # first cum>cf is index 7
     assert cutoff_upper(str(p), 0.998) == 7
+
+
+def test_nibble_packed_extract_matches_unpacked():
+    """The nibble-packed transfer path (2 codes/byte over the tunnel,
+    device-side unpack) must produce the identical instance buffer —
+    exercised here on CPU by calling the jitted step with packed=True
+    directly (the dispatcher only packs on accelerator backends)."""
+    import jax.numpy as jnp
+
+    from ploidyfrost_tpu.kmer.count import (
+        SENT32,
+        _extract_append,
+        _pack_nibbles_host,
+    )
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=(32, 64)).astype(np.uint8)
+    codes[2, 30] = 4  # an N mid-read
+    codes[3, 10:] = 4  # padding tail
+    k = 25
+    cap = 32 * (64 - k + 1)
+
+    def run(dev_codes, packed):
+        bhi = jnp.full((cap,), SENT32, dtype=jnp.uint32)
+        blo = jnp.full((cap,), SENT32, dtype=jnp.uint32)
+        nv = jnp.zeros((), dtype=jnp.int64)
+        return _extract_append(
+            bhi, blo, nv, dev_codes, jnp.int32(0), k, packed
+        )
+
+    a_hi, a_lo, a_nv = run(jnp.asarray(codes), False)
+    b_hi, b_lo, b_nv = run(jnp.asarray(_pack_nibbles_host(codes)), True)
+    np.testing.assert_array_equal(np.asarray(a_hi), np.asarray(b_hi))
+    np.testing.assert_array_equal(np.asarray(a_lo), np.asarray(b_lo))
+    assert int(a_nv) == int(b_nv) > 0
