@@ -30,15 +30,15 @@ excludes building its binary):
    measured from the reference binary's own phase timings on the same
    dataset (BASELINE.md).
 5. colored_analysis_throughput — (superbubbles + sites) / analysis
-   seconds for the 3-sample colored path on the bench2m-colored
+   seconds for the 3-sample colored path on the bench4m-colored
    dataset. Baseline: the reference binary measured on identical
    inputs through our KMC1/.bfg_colors writers (BASELINE.md,
    .scratch/measure_reference_colored.py).
 
 Datasets: bench5m — synthetic 5 Mbp diploid, 1% het SNPs, depth 25,
 seed 7 (identical generation to .scratch/measure_reference.py, the
-recipe the reference binary was measured with); bench2m-colored —
-3 samples over a shared 2 Mbp genome, per-sample 0.5% het, depth 26,
+recipe the reference binary was measured with); bench4m-colored —
+3 samples over a shared 4 Mbp genome, per-sample 0.5% het, depth 26,
 seed 11 (.scratch/measure_reference_colored.py).
 """
 
@@ -54,7 +54,7 @@ BASELINE_KMERS_PER_S = 3.0e7  # KMC2-class single-host counting
 BASELINE_BUILD_WALL_S = 22.3  # measured Bifrost build, bench5m reads
 BASELINE_RUN_WALL_S = 20.4  # reference `run`, bench5m (BASELINE.md)
 BASELINE_ANALYSIS_PER_S = 9090.0  # reference bubbles+sites/s (BASELINE.md)
-BASELINE_COLORED_PER_S = 2080.0  # reference colored bubbles+sites/s
+BASELINE_COLORED_PER_S = 18957.0  # (81958+12829)/5s measured (BASELINE.md)
 
 K = 25
 BATCH_READS = 16384
@@ -255,7 +255,7 @@ def bench_analysis(workdir: str):
 
 
 def colored_inputs(workdir: str):
-    """bench2m-colored: 3 samples over a shared 2 Mbp genome (seed 11),
+    """bench4m-colored: 3 samples over a shared 4 Mbp genome (seed 11),
     per-sample diploid 0.5% het, depth 26. Same recipe as
     .scratch/measure_reference_colored.py, which fed the identical
     inputs to the reference binary through our KMC1 + .bfg_colors
@@ -265,27 +265,33 @@ def colored_inputs(workdir: str):
     from ploidyfrost_tpu.kmer.cutoffs import cutoff_upper_from_counts
     from ploidyfrost_tpu.kmer.pack import canonical_np, sequence_kmers_np
 
-    G = 2_000_000
+    G = 4_000_000
     rng = np.random.default_rng(11)
     base = rng.integers(0, 4, G).astype(np.uint8)
+    # the reference's multi-sample use case (paper snj config): several
+    # sequencing replicates of the SAME diploid individual — shared het
+    # variants, per-sample depths/noise — so the colored gates admit
+    # the bubbles and Cramér's V associates the samples
+    h2 = base.copy()
+    snp = rng.random(G) < 0.005
+    h2[snp] = (h2[snp] + rng.integers(1, 4, snp.sum())) % 4
+    k1, _ = sequence_kmers_np(base, K)
+    k2, _ = sequence_kmers_np(h2, K)
+    allk = canonical_np(np.concatenate([k1, k2]), K)
+    km, mult = np.unique(allk, return_counts=True)
     filtered = []
     tables = []
     cutoffs = []
-    for s in range(3):
-        h2 = base.copy()
-        snp = rng.random(G) < 0.005
-        h2[snp] = (h2[snp] + rng.integers(1, 4, snp.sum())) % 4
-        k1, _ = sequence_kmers_np(base, K)
-        k2, _ = sequence_kmers_np(h2, K)
-        allk = canonical_np(np.concatenate([k1, k2]), K)
-        km, mult = np.unique(allk, return_counts=True)
-        ct = (mult * 26 // 2 + rng.integers(0, 5, len(km))).astype(np.int64)
+    for s, depth in enumerate((26, 30, 24)):
+        ct = (mult * depth // 2 + rng.integers(0, 5, len(km))).astype(
+            np.int64
+        )
         hist = np.bincount(np.clip(ct, 0, 10000))
         upper = cutoff_upper_from_counts(list(hist[1:]), 0.998)
         cutoffs.append((10, upper))
         keep = ct >= 10
         filtered.append(km[keep])
-        tables.append((km, ct))
+        tables.append((km, ct))  # dbs keep ALL counts (probes must hit)
     union = np.unique(np.concatenate(filtered))
     g = simplify(build_graph_from_kmers(union, K), K)
     colors = color_graph(g, filtered, [f"s{i}.fa" for i in range(3)])
@@ -323,14 +329,14 @@ def bench_colored(workdir: str):
         for it in range(N_RUNS + 1):  # first pass warms the tiers
             t0 = time.perf_counter()
             state, bubbles = find_superbubbles_device(g, 8, colors)
-            write_superbubble_file(g, bubbles, "bench2mc")
+            write_superbubble_file(g, bubbles, "bench4mc")
             umean, uok = unitig_coverage_colored(dbs, g, cutoffs)
             emissions, wstrings, wcolors = analyze_bubbles_colored(
                 g, colors, state, umean, uok
             )
             wcov = window_coverage_colored(dbs, wstrings, cutoffs)
             stats = write_outputs_colored(
-                emissions, wcov, wcolors, colors.n_colors, "bench2mc"
+                emissions, wcov, wcolors, colors.n_colors, "bench4mc"
             )
             dt = time.perf_counter() - t0
             n_sites = int(sum(stats["allele"]))

@@ -200,6 +200,17 @@ class SeqAlign:
                 max_indel_len = indel_len
         return max_pair, max_snp_pos, max_indel_pos, max_num_all, max_indel_len
 
+    def sequence_alignment_gapless(self, strs: list[str]):
+        """SequenceAlignment for branch sets where EVERY pairwise NW has
+        the unique gapless-diagonal optimum (equal lengths, <=2
+        mismatches per pair under the default scoring — the provable
+        condition of emit._fast_snp_positions, applied pairwise): the
+        progressive MSA collapses to the stacked input rows with no gap
+        propagation and a singleton candidate set, so only
+        compareStrPair runs. tests/test_fastpath.py cross-validates
+        against sequence_alignment on random multi-branch sets."""
+        return self.compare_str_pair([list(strs)])
+
     # -- progressive MSA ---------------------------------------------------
 
     def sequence_alignment(self, strs: list[str], first_align=None):

@@ -74,6 +74,40 @@ class ColorMatrix:
         (UnitigColors::contains(um, c) for the full-unitig mapping)."""
         return self.unitig_bits(ui).all(axis=0)
 
+    def full_colors_all(self) -> np.ndarray:
+        """bool[n, C]: full_colors for EVERY unitig in one reduceat pass
+        (the colored walk consults this per branch; per-call slicing
+        measured hot)."""
+        cached = getattr(self, "_full_all", None)
+        if cached is None:
+            starts = self.offsets[:-1]
+            n = len(starts)
+            if len(self.bits) == 0 or n == 0:
+                cached = np.zeros((n, self.n_colors), dtype=bool)
+            else:
+                mins = np.minimum.reduceat(
+                    self.bits.view(np.uint8), starts, axis=0
+                )
+                cached = mins.astype(bool)
+                empty = self.offsets[1:] == starts
+                cached[empty] = True  # all() of an empty slice
+            self._full_all = cached
+        return cached
+
+    def size_all(self) -> np.ndarray:
+        """int64[n]: size(ui) for every unitig in one reduceat pass."""
+        cached = getattr(self, "_size_all", None)
+        if cached is None:
+            starts = self.offsets[:-1]
+            if len(self.bits) == 0 or len(starts) == 0:
+                cached = np.zeros(len(starts), dtype=np.int64)
+            else:
+                per_pos = self.bits.sum(axis=1, dtype=np.int64)
+                csum = np.concatenate([[0], np.cumsum(per_pos)])
+                cached = csum[self.offsets[1:]] - csum[starts]
+            self._size_all = cached
+        return cached
+
     def contains_all(self, ui: int, color: int) -> bool:
         return bool(self.unitig_bits(ui)[:, color].all())
 
@@ -180,8 +214,22 @@ class KmerPosIndex:
         return self._uidx[idx], self._pos[idx], hit
 
     def find_string_head(self, s: str):
-        """findUnitig(s, 0, len): locate the first k-mer of s."""
-        km = canonical_np(string_kmers_np(s[: self.g.k], self.g.k), self.g.k)
+        """findUnitig(s, 0, len): locate the first k-mer of s.
+
+        Scalar path: encodes just the head k-mer with python int ops —
+        the array pipeline (sequence_kmers_np) costs ~190 us per call
+        and this runs once per distinct branching-site window."""
+        from ..kmer.pack import encode_kmer_string
+
+        k = self.g.k
+        v = encode_kmer_string(s[:k])
+        # scalar reverse complement of a 2-bit-packed k-mer
+        x = ~v & ((1 << (2 * k)) - 1)
+        r = 0
+        for _ in range(k):
+            r = (r << 2) | (x & 3)
+            x >>= 2
+        km = np.array([min(v, r)], dtype=np.uint64)
         ui, pos, hit = self.find(km)
         return int(ui[0]), int(pos[0]), bool(hit[0])
 

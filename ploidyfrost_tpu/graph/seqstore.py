@@ -57,7 +57,7 @@ def _reverse_2bit_groups(x: np.ndarray) -> np.ndarray:
 class SeqStore:
     """Packed sequence corpus: words[uint64], word offsets, base lengths."""
 
-    __slots__ = ("words", "off_w", "lengths", "_codes_cache")
+    __slots__ = ("words", "off_w", "lengths", "_codes_cache", "_all_kmers_cache")
 
     def __init__(self, words: np.ndarray, off_w: np.ndarray, lengths: np.ndarray):
         self.words = np.asarray(words, dtype=np.uint64)
@@ -168,11 +168,18 @@ class SeqStore:
         """(kmers, n_per_unitig): every forward-strand k-mer of every
         unitig, concatenated in unitig order. Word-gather extraction at
         the valid start positions (kmers_at) — ~5x faster than the
-        unpack + k-step shift-accumulate corpus scan it replaces."""
-        mask = self.kmer_start_mask(k)
-        pos = np.flatnonzero(mask)
-        nk = np.maximum(self.lengths - k + 1, 0)
-        return self.kmers_at(pos, k), nk
+        unpack + k-step shift-accumulate corpus scan it replaces.
+        Memoized per k (several analysis passes consume the same
+        arrays; treat the result as read-only)."""
+        cache = getattr(self, "_all_kmers_cache", None)
+        if cache is None:
+            cache = self._all_kmers_cache = {}
+        if k not in cache:
+            mask = self.kmer_start_mask(k)
+            pos = np.flatnonzero(mask)
+            nk = np.maximum(self.lengths - k + 1, 0)
+            cache[k] = (self.kmers_at(pos, k), nk)
+        return cache[k]
 
     def kmers_at(self, upos: np.ndarray, k: int) -> np.ndarray:
         """MSB-first packed k-mer starting at each absolute padded base

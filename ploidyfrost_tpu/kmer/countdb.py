@@ -168,3 +168,62 @@ class KmerCountDB:
             out.append(counts[off : off + n])
             off += n
         return out
+
+
+class MultiColorCountDB:
+    """Fused multi-database probe table for the colored path.
+
+    The colored coverage passes (sites/emit_colored.py) probe the SAME
+    query k-mers against every color's database; per-color lookups
+    repeat the canonicalization and the latency-bound binary probes C
+    times over. This table unions the keys once (sequencing replicates
+    share almost all k-mers) and answers every color with ONE search
+    plus a [n, C] gather.
+    """
+
+    def __init__(self, dbs: list[KmerCountDB]):
+        assert dbs
+        self.k = dbs[0].k
+        self.C = len(dbs)
+        keys = [d._km_np[: len(d)] for d in dbs]
+        if all(
+            len(km) == len(keys[0]) and np.array_equal(km, keys[0])
+            for km in keys[1:]
+        ):
+            union = keys[0]
+            counts = np.stack(
+                [d._ct_np[: len(d)] for d in dbs], axis=1
+            )
+        else:
+            union = keys[0]
+            for km in keys[1:]:
+                union = np.union1d(union, km)
+            counts = np.zeros((len(union), self.C), dtype=np.int64)
+            for c, d in enumerate(dbs):
+                pos = np.searchsorted(union, keys[c])
+                counts[pos, c] = d._ct_np[: len(d)]
+        # reuse KmerCountDB's padded table + native bucketed search
+        self._index = KmerCountDB(
+            union, np.zeros(len(union), np.int64), self.k
+        )
+        self._counts = counts
+
+    def lookup(self, queries):
+        """(counts [n, C] int64, hit [n] bool) — one canonicalization,
+        one search, C gathers."""
+        from .pack import canonical_np
+
+        q = np.asarray(queries, dtype=np.uint64).ravel()
+        if len(q) == 0 or len(self._counts) == 0:
+            return (
+                np.zeros((len(q), self.C), np.int64),
+                np.zeros(len(q), bool),
+            )
+        canon = canonical_np(q, self.k)
+        idx = self._index._search(canon)
+        np.clip(idx, 0, max(len(self._index) - 1, 0), out=idx)
+        hit = self._index._km_np[idx] == canon
+        counts = np.where(
+            hit[:, None], self._counts[np.minimum(idx, len(self._counts) - 1)], 0
+        )
+        return counts, hit

@@ -75,18 +75,24 @@ def unitig_coverage(db, g):
 def window_coverage(db, strings: list[str], lower: int, upper: int):
     """Batched readCov(s, lower, upper) (src/CDBG.cpp:29-60): for each
     window string, (mean k-mer count, all-counts-in-(lower,upper) flag)."""
-    from .kmer.pack import string_kmers_np
+    from .kmer.pack import encode_bases
+    from .graph.seqstore import SeqStore
 
     uniq = sorted(set(strings))
     out: dict[str, tuple[float, bool]] = {}
     if not uniq:
         return out
+    # one vectorized encode + word-gather k-mer extraction over the
+    # whole window corpus (the per-window string_kmers_np loop costs
+    # ~130 us/window in python)
     lens = np.array([len(s) - db.k + 1 for s in uniq], dtype=np.int64)
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    flat = np.empty(int(offs[-1]), dtype=np.uint64)
-    for i, s in enumerate(uniq):
-        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, db.k)
+    wstore = SeqStore.from_codes(
+        encode_bases("".join(uniq)),
+        np.array([len(s) for s in uniq], dtype=np.int64),
+    )
+    flat, _ = wstore.all_kmers(db.k)
     counts, hit = db.lookup(flat)
     if not hit.all():
         from .kmer.pack import decode_kmers

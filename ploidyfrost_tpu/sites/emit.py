@@ -382,6 +382,26 @@ def _fast_snp_positions(job: _AlignJob) -> np.ndarray | None:
     return np.flatnonzero(neq)
 
 
+def _gapless_eligible(str_vec: list[str]) -> bool:
+    """True when EVERY branch pair is equal-length with <=2 mismatches —
+    each pairwise NW then has the unique gapless-diagonal optimum (the
+    _fast_snp_positions proof applied per pair), so the progressive MSA
+    is the stacked input rows (SeqAlign.sequence_alignment_gapless).
+    Used for >2-branch bubbles; 2-branch ones take _emit_fast."""
+    if len(str_vec) < 2:
+        return False
+    L = len(str_vec[0])
+    if any(len(s) != L for s in str_vec[1:]):
+        return False
+    arrs = [np.frombuffer(s.encode(), dtype=np.uint8) for s in str_vec]
+    for i in range(len(arrs) - 1):
+        a = arrs[i]
+        for j in range(i + 1, len(arrs)):
+            if int((a != arrs[j]).sum()) > 2:
+                return False
+    return True
+
+
 def _emit_fast(
     job: _AlignJob, fsnp: np.ndarray, k: int, window_strings: list[str]
 ) -> BubbleEmission:
@@ -468,13 +488,23 @@ def analyze_bubbles(
     k = g.k
     jobs = collect_align_jobs(g, state, unitig_cov, unitig_min, lower, upper)
 
-    # fast path: 2-branch equal-length <=2-mismatch bubbles under the
-    # default scoring bypass alignment entirely (see _fast_snp_positions)
+    # fast paths under the default scoring: 2-branch equal-length
+    # <=2-mismatch bubbles bypass alignment entirely
+    # (_fast_snp_positions); >2-branch sets whose pairs all qualify
+    # skip the DP/traceback/MSA and run only compareStrPair
+    # (_gapless_eligible + sequence_alignment_gapless)
     fast: list[np.ndarray | None] = [None] * len(jobs)
+    gapless = [False] * len(jobs)
     if (match, mismatch, gap) == (2.0, -1.0, -3.0):
         fast = [_fast_snp_positions(j) for j in jobs]
+        gapless = [
+            fast[i] is None and _gapless_eligible(jobs[i].str_vec)
+            for i in range(len(jobs))
+        ]
 
-    slow_idx = [i for i in range(len(jobs)) if fast[i] is None]
+    slow_idx = [
+        i for i in range(len(jobs)) if fast[i] is None and not gapless[i]
+    ]
     firsts: list = [None] * len(jobs)
     if (
         batch_align
@@ -500,14 +530,15 @@ def analyze_bubbles(
     # the reference's `if (str_vec.size() != 0)` consumes no id and
     # emits nothing (src/SeqAlign.cpp:639 + src/CDBG.cpp:1424-1431)
     var_count = 0
-    for job, fa, fsnp in zip(jobs, firsts, fast):
+    for job, fa, fsnp, gl in zip(jobs, firsts, fast, gapless):
         if fsnp is not None:
             var_count += 1
             job.var_id = var_count
             emissions.append(_emit_fast(job, fsnp, k, window_strings))
         else:
             em = _emit_generic(
-                job, seqalign, k, window_strings, fa, var_count + 1
+                job, seqalign, k, window_strings, fa, var_count + 1,
+                gapless=gl,
             )
             if em is None:
                 continue
@@ -523,6 +554,7 @@ def _emit_generic(
     window_strings: list[str],
     first_align=None,
     var_id: int = 0,
+    gapless: bool = False,
 ) -> BubbleEmission | None:
     """Generic emission for one job: progressive MSA + compareStrPair +
     per-column site extraction (src/CDBG.cpp:2050-2147, 2331-2473).
@@ -530,7 +562,9 @@ def _emit_generic(
     (empty compareStrPair result) — the reference then consumes no
     VarId (see analyze_bubbles)."""
     rows, snp_pos, indel_pos, partition, indel_len = (
-        seqalign.sequence_alignment(job.str_vec, first_align=first_align)
+        seqalign.sequence_alignment_gapless(job.str_vec)
+        if gapless
+        else seqalign.sequence_alignment(job.str_vec, first_align=first_align)
     )
     if not rows:
         return None

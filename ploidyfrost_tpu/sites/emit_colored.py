@@ -109,21 +109,35 @@ class ColoredBubbleEmission:
     sites: list[ColoredSiteEmission] = field(default_factory=list)
 
 
+def _fused(dbs):
+    """Per-invocation cached MultiColorCountDB over the color dbs."""
+    from ..kmer.countdb import MultiColorCountDB
+
+    key = tuple(id(d) for d in dbs)
+    cached = getattr(dbs[0], "_fused_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    fused = MultiColorCountDB(dbs)
+    dbs[0]._fused_cache = (key, fused)
+    return fused
+
+
 def unitig_coverage_colored(dbs, g: CDBGraph, cutoffs):
     """Batched readCovUni for every (unitig, color)
     (src/CCDBG.cpp:123-156): per-color mean k-mer count and an
-    all-k-mers-within-(low,up) validity flag. One device gather pass
-    per color database."""
+    all-k-mers-within-(low,up) validity flag — ONE fused probe pass for
+    all colors (kmer/countdb.MultiColorCountDB)."""
     flat, lens = g.store.all_kmers(g.k)
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     C = len(dbs)
-    mean = np.zeros((len(lens), C), dtype=np.float64)
-    ok = np.zeros((len(lens), C), dtype=bool)
-    for c, db in enumerate(dbs):
-        counts, hit = db.lookup(flat)
+    call, hit = _fused(dbs).lookup(flat)
+    call = call.astype(np.float64)
+    mean = np.empty((len(lens), C), dtype=np.float64)
+    ok = np.empty((len(lens), C), dtype=bool)
+    for c in range(C):
         low, up = cutoffs[c]
-        counts = counts.astype(np.float64)
+        counts = call[:, c]
         inb = hit & (counts > low) & (counts < up)
         ok[:, c] = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
         mean[:, c] = np.add.reduceat(counts, starts) / lens
@@ -134,27 +148,33 @@ def window_coverage_colored(dbs, strings: list[str], cutoffs):
     """Batched readCov(s, low, up, color) (src/CCDBG.cpp:89-122) for
     every distinct window string against every color database.
     Returns dict window -> (means[C], oks[C])."""
-    from ..kmer.pack import string_kmers_np
+    from ..graph.seqstore import SeqStore
+    from ..kmer.pack import encode_bases
 
     uniq = sorted(set(strings))
     out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if not uniq:
         return out
     k = dbs[0].k
+    # one vectorized encode + word-gather extraction (see
+    # pipeline.window_coverage)
     lens = np.array([len(s) - k + 1 for s in uniq], dtype=np.int64)
     offs = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    flat = np.empty(int(offs[-1]), dtype=np.uint64)
-    for i, s in enumerate(uniq):
-        flat[offs[i] : offs[i + 1]] = string_kmers_np(s, k)
+    wstore = SeqStore.from_codes(
+        encode_bases("".join(uniq)),
+        np.array([len(s) for s in uniq], dtype=np.int64),
+    )
+    flat, _ = wstore.all_kmers(k)
     starts = offs[:-1]
     C = len(dbs)
-    means = np.zeros((len(lens), C), dtype=np.float64)
-    oks = np.zeros((len(lens), C), dtype=bool)
-    for c, db in enumerate(dbs):
-        counts, hit = db.lookup(flat)
+    call, hit = _fused(dbs).lookup(flat)
+    call = call.astype(np.float64)
+    means = np.empty((len(lens), C), dtype=np.float64)
+    oks = np.empty((len(lens), C), dtype=bool)
+    for c in range(C):
         low, up = cutoffs[c]
-        counts = counts.astype(np.float64)
+        counts = call[:, c]
         inb = hit & (counts > low) & (counts < up)
         oks[:, c] = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
         means[:, c] = np.add.reduceat(counts, starts) / lens
@@ -190,8 +210,13 @@ def _collect_colored_jobs(
     alignment deferred (same job-collection structure as emit.py)."""
     C = colors.n_colors
     jobs: list[_ColoredAlignJob] = []
+    candidates = np.flatnonzero(state.flags & 0x03)
+    if len(candidates) > len(g) // 8:
+        g.seqs.materialize()  # bulk corpus decode beats per-unitig calls
+    full_all = colors.full_colors_all()
+    size_all = colors.size_all()
 
-    for ui in np.flatnonzero(state.flags & 0x03):
+    for ui in candidates:
         ui = int(ui)
         while not state.is_both_visited(ui):
             if not state.is_plus_visited(ui):
@@ -236,7 +261,7 @@ def _collect_colored_jobs(
                 cov_vec = np.zeros((C, len(branches)), dtype=np.float64)
                 path_color: list[int] = []
                 for path, uu in enumerate(branches):
-                    full = colors.full_colors(uu.idx)
+                    full = full_all[uu.idx]
                     j = 0
                     for ci in range(C):
                         if full[ci]:
@@ -249,7 +274,7 @@ def _collect_colored_jobs(
                     if not flag:
                         break
                     # uniformly-colored requirement (src/CCDBG.cpp:2898-2902)
-                    if colors.size(uu.idx) != j * uu.length:
+                    if size_all[uu.idx] != j * uu.length:
                         flag = False
                         break
                     path_color.append(j)
@@ -364,29 +389,66 @@ def analyze_bubbles_colored(
 
     jobs = _collect_colored_jobs(g, colors, state, umean, uok)
 
+    # fast path: 2-branch equal-length <=2-mismatch bubbles under the
+    # default scoring have a provably unique gapless-diagonal alignment
+    # (emit._fast_snp_positions) — the dominant population; they skip
+    # the DP + traceback + MSA entirely, as in the uncolored path
+    from .emit import _fast_snp_positions, _gapless_eligible
+
+    fast: list = [None] * len(jobs)
+    gapless = [False] * len(jobs)
+    if (match, mismatch, gap) == (2.0, -1.0, -3.0):
+        fast = [_fast_snp_positions(j) for j in jobs]
+        gapless = [
+            fast[i] is None and _gapless_eligible(jobs[i].str_vec)
+            for i in range(len(jobs))
+        ]
+    slow_idx = [
+        i for i in range(len(jobs)) if fast[i] is None and not gapless[i]
+    ]
+
     firsts: list = [None] * len(jobs)
     if (
         batch_align
-        and len(jobs) >= _BATCH_MIN
+        and len(slow_idx) >= _BATCH_MIN
         and all(float(v).is_integer() for v in (match, mismatch, gap))
     ):
         from ..align.batch_nw import needleman_wunsch_batch
 
-        firsts = needleman_wunsch_batch(
-            [(j.str_vec[0], j.str_vec[1]) for j in jobs], match, mismatch, gap
+        slow_firsts = needleman_wunsch_batch(
+            [(jobs[i].str_vec[0], jobs[i].str_vec[1]) for i in slow_idx],
+            match, mismatch, gap,
         )
+        for i, fa in zip(slow_idx, slow_firsts):
+            firsts[i] = fa
 
     emissions: list[ColoredBubbleEmission] = []
     # VarIds are consumed POST-alignment: an empty compareStrPair result
     # (all co-optimal tracebacks over the 5-indel-run cap) consumes no
     # id and emits nothing (src/CCDBG.cpp:2945-2947)
     var_count = 0
-    for job, fa in zip(jobs, firsts):
-        rows, snp_pos, indel_pos, partition, indel_len = (
-            seqalign.sequence_alignment(job.str_vec, first_align=fa)
-        )
-        if not rows:
-            continue
+    for job, fa, fsnp, gl in zip(jobs, firsts, fast, gapless):
+        if fsnp is not None:
+            # unique diagonal alignment: rows are the branches
+            # unchanged, every variant column is a biallelic SNP with
+            # partition [1, 2] (validated vs the generic path by
+            # tests/test_fastpath.py::test_colored_fast_matches_generic)
+            rows = job.str_vec
+            var_site = [int(p) for p in fsnp]
+            partition = {vs: [1, 2] for vs in var_site}
+            indel_pos: list[int] = []
+            indel_len: list[int] = []
+        else:
+            rows, snp_pos, indel_pos, partition, indel_len = (
+                seqalign.sequence_alignment_gapless(job.str_vec)
+                if gl
+                else seqalign.sequence_alignment(job.str_vec, first_align=fa)
+            )
+            if not rows:
+                continue
+            var_site = [
+                i for i in range(len(partition)) if partition[i][-1] > 0
+            ]
         var_count += 1
         job.var_id = var_count
         be = ColoredBubbleEmission(
@@ -397,7 +459,6 @@ def analyze_bubbles_colored(
             rows,
             job.core,
         )
-        var_site = [i for i in range(len(partition)) if partition[i][-1] > 0]
         indel = 0
         if job.is_strict:
             cov_vec = job.cov_vec
