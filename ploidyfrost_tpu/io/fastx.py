@@ -186,9 +186,12 @@ def read_batches_native(
     k: int,
     batch_reads: int = 4096,
     max_len: int = 512,
+    trim=None,
 ) -> Iterator[np.ndarray]:
-    """Native C++ batcher (fastx_reader.cpp). Raises RuntimeError if the
-    library is unavailable — use read_batches for automatic fallback."""
+    """Native C++ batcher (fastx_reader.cpp), with the optional
+    quality-trimming cascade applied in C (pfx_set_trim). Raises
+    RuntimeError if the library is unavailable — use read_batches for
+    automatic fallback."""
     import ctypes
 
     from ..native import load_library
@@ -206,6 +209,11 @@ def read_batches_native(
         h = lib.pfx_open(path.encode())
         if not h:
             raise FileNotFoundError(path)
+        if trim is not None:
+            lib.pfx_set_trim(
+                h, trim.leading, trim.trailing, trim.window,
+                trim.window_quality, trim.minlen,
+            )
         try:
             while True:
                 rows = lib.pfx_next_batch(
@@ -256,28 +264,18 @@ def read_batches(
     trim=None,
 ) -> Iterator[np.ndarray]:
     """Yield [batch_reads, max_len] uint8 code batches from FASTX files,
-    using the native loader when it is available (identical output).
+    using the native loader when it is available (identical output,
+    including the quality-trimming cascade, which the native reader
+    applies in C — tests/test_trim.py asserts batch parity).
     ``max_len=None`` sizes the window from the first record
-    (_auto_max_len). Quality trimming (``trim``) currently runs on the
-    Python path only — the native loader discards quality lines."""
+    (_auto_max_len)."""
     from ..native import load_library
 
     if isinstance(paths, str):
         paths = [paths]
     if max_len is None:
         max_len = _auto_max_len(paths, k)
-    if trim is None and load_library() is not None:
-        yield from read_batches_native(paths, k, batch_reads, max_len)
+    if load_library() is not None:
+        yield from read_batches_native(paths, k, batch_reads, max_len, trim)
     else:
-        if trim is not None and load_library() is not None:
-            # stderr: stdout carries the reference-parity log lines
-            import sys
-
-            print(
-                "read_batches: quality trimming enabled - using the "
-                "Python reader (the native loader discards quality "
-                "lines)",
-                file=sys.stderr,
-                flush=True,
-            )
         yield from read_batches_py(paths, k, batch_reads, max_len, trim=trim)

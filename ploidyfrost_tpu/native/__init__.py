@@ -68,6 +68,15 @@ def load_library():
             return None
         lib.pfx_open.argtypes = [ctypes.c_char_p]
         lib.pfx_open.restype = ctypes.c_void_p
+        lib.pfx_set_trim.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.pfx_set_trim.restype = None
         lib.pfx_next_batch.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_uint8),

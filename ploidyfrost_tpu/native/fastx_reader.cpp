@@ -25,6 +25,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -62,9 +63,64 @@ struct Reader {
   bool have_seq = false;
   bool done = false;
 
+  // optional quality trimming (Trimmomatic cascade, io/trim.py
+  // semantics); qual collects raw quality bytes per FASTQ record
+  bool trim_on = false;
+  int t_lead = 0, t_trail = 0, t_win = 0, t_winq = 0, t_minlen = 0;
+  std::vector<uint8_t> qual;
+
   // reusable line assembly
   std::vector<uint8_t> line;
 };
+
+// LEADING/TRAILING/SLIDINGWINDOW/MINLEN on the current record,
+// mirroring io/trim.trim_read exactly (phred33; window mean test
+// sum < wq*w is the exact integer form of the float mean < wq).
+void apply_trim(Reader* r) {
+  const long n = (long)std::min(r->seq.size(), r->qual.size());
+  long lo = 0, hi = n;
+  const uint8_t* q = r->qual.data();
+  if (r->t_lead > 0) {
+    long g = lo;
+    while (g < hi && (int)q[g] - 33 < r->t_lead) ++g;
+    lo = g;
+  }
+  if (r->t_trail > 0 && hi > lo) {
+    long g = hi - 1;
+    while (g >= lo && (int)q[g] - 33 < r->t_trail) --g;
+    hi = g + 1;
+  }
+  const int w = r->t_win;
+  if (w > 0) {
+    if (hi - lo < w) {
+      hi = lo;  // shorter than the window: dropped outright
+    } else {
+      const long m = hi - lo;
+      long sum = 0;
+      for (long i = 0; i < w; ++i) sum += (int)q[lo + i] - 33;
+      long cut = -1;
+      for (long st = 0; st + w <= m; ++st) {
+        if (st)
+          sum += ((int)q[lo + st + w - 1] - 33) - ((int)q[lo + st - 1] - 33);
+        if (sum < (long)r->t_winq * w) {
+          cut = st;
+          break;
+        }
+      }
+      if (cut >= 0) {
+        // extend through individually-good bases at the cut point
+        while (cut < m && (int)q[lo + cut] - 33 >= r->t_winq) ++cut;
+        hi = lo + cut;
+      }
+    }
+  }
+  if (hi - lo < (long)r->t_minlen) {
+    r->seq.clear();
+    return;
+  }
+  if (lo > 0) memmove(r->seq.data(), r->seq.data() + lo, (size_t)(hi - lo));
+  r->seq.resize((size_t)(hi - lo));
+}
 
 bool fill(Reader* r) {
   if (r->in_eof) return false;
@@ -127,6 +183,7 @@ void encode_append(std::vector<uint8_t>* out, const std::vector<uint8_t>& in) {
 // Python reader (io/fastx._iter_fastq; bifrost/src/kseq.h semantics).
 void read_fastq_body(Reader* r) {
   size_t seq_chars = 0;
+  r->qual.clear();
   for (;;) {
     if (!read_line(r)) {
       r->done = true;
@@ -143,6 +200,8 @@ void read_fastq_body(Reader* r) {
       return;
     }
     q += r->line.size();
+    if (r->trim_on)
+      r->qual.insert(r->qual.end(), r->line.begin(), r->line.end());
   }
 }
 
@@ -183,6 +242,7 @@ bool next_record(Reader* r) {
           r->done = true;
           return false;
         }
+        if (r->trim_on) apply_trim(r);
         if (r->seq.empty()) continue;
         r->have_seq = true;
         return true;
@@ -229,6 +289,7 @@ bool next_record(Reader* r) {
       r->done = true;
       return false;
     }
+    if (r->trim_on) apply_trim(r);
     if (r->seq.empty()) {
       if (r->done) return false;
       continue;
@@ -241,6 +302,18 @@ bool next_record(Reader* r) {
 }  // namespace
 
 extern "C" {
+
+// enable the quality-trimming cascade for subsequent records
+void pfx_set_trim(void* h, int leading, int trailing, int window,
+                  int window_q, int minlen) {
+  Reader* r = (Reader*)h;
+  r->trim_on = true;
+  r->t_lead = leading;
+  r->t_trail = trailing;
+  r->t_win = window;
+  r->t_winq = window_q;
+  r->t_minlen = minlen;
+}
 
 void* pfx_open(const char* path) {
   Reader* r = new Reader();

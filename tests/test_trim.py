@@ -82,3 +82,39 @@ def test_cli_trim_flag_parses():
     assert argv == ["-o", "x", "r.fq"] and trim == TrimConfig()
     argv, trim = _extract_trim(["--trim=LEADING:3,MINLEN:36"])
     assert trim.leading == 3 and trim.minlen == 36 and trim.trailing == 10
+
+
+def test_native_trim_matches_python(tmp_path):
+    """The native reader's in-C trimming cascade must produce batches
+    byte-identical to the Python reader's (io/trim.trim_read)."""
+    import numpy as np
+
+    from ploidyfrost_tpu.io.fastx import read_batches_native, read_batches_py
+    from ploidyfrost_tpu.native import load_library
+
+    if load_library() is None:
+        import pytest
+
+        pytest.skip("native reader unavailable")
+    rng = np.random.default_rng(9)
+    p = tmp_path / "t.fq"
+    with open(p, "w") as f:
+        for i in range(400):
+            n = int(rng.integers(30, 180))
+            seq = "".join("ACGTN"[c] for c in rng.integers(0, 5, n))
+            # quality ramps/drops to exercise every operator
+            q = rng.integers(2, 41, n)
+            if i % 3 == 0:
+                q[: int(rng.integers(0, 8))] = 3  # bad leading
+            if i % 4 == 0:
+                q[-int(rng.integers(1, 9)) :] = 4  # bad trailing
+            qual = "".join(chr(33 + int(x)) for x in q)
+            f.write(f"@r{i}\n{seq}\n+\n{qual}\n")
+    for spec in (TrimConfig(), TrimConfig(leading=20, trailing=25,
+                                          window=5, window_quality=30,
+                                          minlen=20)):
+        a = [b.copy() for b in read_batches_py([str(p)], 25, 16, 96, trim=spec)]
+        b = [b.copy() for b in read_batches_native([str(p)], 25, 16, 96, trim=spec)]
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
