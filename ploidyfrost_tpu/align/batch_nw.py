@@ -155,7 +155,11 @@ def _encode(seqs: list[str], width: int) -> np.ndarray:
 
 
 def nw_matrices_batched(
-    pairs: list[tuple[str, str]], match: float, dis_match: float, gap: float
+    pairs: list[tuple[str, str]],
+    match: float,
+    dis_match: float,
+    gap: float,
+    mesh=None,
 ):
     """Device-batched version of nw._nw_matrix over many pairs.
 
@@ -164,7 +168,14 @@ def nw_matrices_batched(
     scoring parameters (the reference parses them with atoi,
     src/Main.cpp:155-168); raises ValueError otherwise so callers can
     fall back to the host wavefront.
-    """
+
+    With `mesh`, each tier's lane batch is SHARDED across every device
+    (NamedSharding on the lane axis; lanes are independent, so GSPMD
+    partitions the wavefront scan with zero collectives) — the
+    multi-chip split of the analysis tail's alignment DP, the mesh
+    analog of the reference's threaded ploidyEstimation
+    (src/CDBG.cpp:1917-2611). tests/test_batch_nw.py asserts mesh
+    parity."""
     for v in (match, dis_match, gap):
         if not float(v).is_integer():
             raise ValueError("batched NW requires integer scoring parameters")
@@ -183,6 +194,9 @@ def nw_matrices_batched(
 
     for tier, idxs in sorted(by_tier.items()):
         CH = _chunk_of(tier)
+        if mesh is not None:
+            D = mesh.devices.size
+            CH = max(CH // D, 1) * D  # lane axis divisible by the mesh
         kern = _build_kernel(tier, CH, int(match), int(dis_match), int(gap))
         # de-skew gather grid for this tier: cell (i, j) lives at
         # ys[i + j, lane, i]
@@ -197,11 +211,21 @@ def nw_matrices_batched(
             if pad:
                 a_seqs += ["A"] * pad
                 b_seqs += ["A"] * pad
-            a = jnp.asarray(_encode(a_seqs, tier))
-            b = jnp.asarray(_encode(b_seqs, tier))
-            alen = jnp.asarray(
-                np.array([[len(s)] for s in a_seqs], dtype=np.int32)
-            )
+            a_np = _encode(a_seqs, tier)
+            b_np = _encode(b_seqs, tier)
+            alen_np = np.array([[len(s)] for s in a_seqs], dtype=np.int32)
+            if mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec(("data", "shard")))
+                a = jax.device_put(a_np, sh)
+                b = jax.device_put(b_np, sh)
+                alen = jax.device_put(alen_np, sh)
+            else:
+                a = jnp.asarray(a_np)
+                b = jnp.asarray(b_np)
+                alen = jnp.asarray(alen_np)
             ys = np.asarray(kern(a, b, alen))  # [CH, 3, 2T+1, W8] packed
             for lane, idx in enumerate(batch):
                 m = len(pairs[idx][0])
@@ -224,6 +248,7 @@ def needleman_wunsch_batch(
     match: float = 2.0,
     dis_match: float = -1.0,
     gap: float = -3.0,
+    mesh=None,
 ):
     """Batch counterpart of nw.needleman_wunsch: DP flag matrices in
     batch + host co-optimal traceback per pair.
@@ -235,7 +260,18 @@ def needleman_wunsch_batch(
     available, any scoring)."""
     from .nw import _nw_matrix, _traceback, nw_matrices_native
 
-    mats = nw_matrices_native(pairs, match, dis_match, gap)
+    # with a mesh, the DP matrices compute sharded across every device
+    # (lanes split, no collectives); single-device keeps the measured
+    # engine order (native C wins for these small matrices through a
+    # remote-device tunnel)
+    mats = None
+    if mesh is not None:
+        try:
+            mats = nw_matrices_batched(pairs, match, dis_match, gap, mesh)
+        except ValueError:
+            mats = None
+    if mats is None:
+        mats = nw_matrices_native(pairs, match, dis_match, gap)
     if mats is None:
         try:
             mats = nw_matrices_batched(pairs, match, dis_match, gap)

@@ -223,7 +223,8 @@ def run_colored_analysis(opt) -> int:
     t0 = time.time()
     umean, uok = unitig_coverage_colored(dbs, g, cutoffs)
     emissions, window_strings, window_colors = analyze_bubbles_colored(
-        g, colors, state, umean, uok, opt.match, opt.mismatch, opt.gap
+        g, colors, state, umean, uok, opt.match, opt.mismatch, opt.gap,
+        mesh=resolve_mesh(),
     )
     wcov = window_coverage_colored(dbs, window_strings, cutoffs)
     stats = write_outputs_colored(
@@ -307,6 +308,7 @@ def run_analysis(opt) -> int:
             opt.match,
             opt.mismatch,
             opt.gap,
+            mesh=resolve_mesh(),
         )
         wcov = window_coverage(
             db, window_strings, opt.coverage_lower, opt.coverage_upper

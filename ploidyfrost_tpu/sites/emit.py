@@ -471,6 +471,7 @@ def analyze_bubbles(
     mismatch: float = -1.0,
     gap: float = -3.0,
     batch_align: bool = True,
+    mesh=None,
 ) -> tuple[list[BubbleEmission], list[str]]:
     """ploidyEstimation analysis: walk every unvisited strand, align,
     extract sites. Returns (bubble emissions, all window strings needed).
@@ -518,6 +519,7 @@ def analyze_bubbles(
             match,
             mismatch,
             gap,
+            mesh=mesh,
         )
         for i, fa in zip(slow_idx, slow_firsts):
             firsts[i] = fa

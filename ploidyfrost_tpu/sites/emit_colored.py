@@ -368,6 +368,7 @@ def analyze_bubbles_colored(
     mismatch: float = -1.0,
     gap: float = -3.0,
     batch_align: bool = True,
+    mesh=None,
 ):
     """Colored ploidyEstimation analysis (src/CCDBG.cpp:2759-3531).
 
@@ -417,7 +418,7 @@ def analyze_bubbles_colored(
 
         slow_firsts = needleman_wunsch_batch(
             [(jobs[i].str_vec[0], jobs[i].str_vec[1]) for i in slow_idx],
-            match, mismatch, gap,
+            match, mismatch, gap, mesh=mesh,
         )
         for i, fa in zip(slow_idx, slow_firsts):
             firsts[i] = fa

@@ -89,3 +89,29 @@ def test_non_integer_params_fall_back():
     exp = needleman_wunsch("ACGT", "AGGT", 1.5, -1.0, -3.0)
     assert len(got[0]) == len(exp)
     assert got[0][0].str1 == exp[0].str1
+
+
+def test_batched_nw_mesh_parity():
+    """Mesh-sharded DP matrices must equal the single-device and
+    per-pair host matrices exactly (lanes split across 8 virtual
+    devices, no collectives)."""
+    from ploidyfrost_tpu.align.nw import _nw_matrix
+    from ploidyfrost_tpu.align.batch_nw import nw_matrices_batched
+    from ploidyfrost_tpu.parallel.sharded import balanced_mesh
+
+    rng = np.random.default_rng(31)
+    pairs = []
+    for _ in range(40):
+        la = int(rng.integers(5, 120))
+        lb = max(5, la + int(rng.integers(-6, 7)))
+        pairs.append((
+            "".join("ACGT"[c] for c in rng.integers(0, 4, la)),
+            "".join("ACGT"[c] for c in rng.integers(0, 4, lb)),
+        ))
+    mesh = balanced_mesh(8)
+    got = nw_matrices_batched(pairs, 2.0, -1.0, -3.0, mesh=mesh)
+    for (A, B), (u, l2, l3) in zip(pairs, got):
+        eu, el2, el3 = _nw_matrix(A, B, 2.0, -1.0, -3.0)
+        np.testing.assert_array_equal(u, eu)
+        np.testing.assert_array_equal(l2, el2)
+        np.testing.assert_array_equal(l3, el3)

@@ -137,3 +137,37 @@ def test_balanced_mesh_non_power_of_two():
     ref.add_reads(batches[0])
     km1, ct1 = ref.arrays()
     np.testing.assert_array_equal(np.asarray(km1, dtype=np.uint64), km)
+
+
+def test_sharded_arrays_streams_per_shard():
+    """ShardedKmerCounter.arrays() must fetch ONE shard at a time
+    (VERDICT r3 #8): peak host allocation during finalization stays
+    within the live result plus ~1.5 shard slices, NOT the padded
+    [D * cap] global table (which carries sentinel padding on top)."""
+    import tracemalloc
+
+    from ploidyfrost_tpu.parallel.sharded import ShardedKmerCounter
+
+    mesh = balanced_mesh(8)
+    rng = np.random.default_rng(3)
+    counter = ShardedKmerCounter(mesh, K, initial_capacity=1 << 21)
+    for _ in range(3):
+        counter.add_reads(rng.integers(0, 4, size=(2048, 96)).astype(np.uint8))
+    # force shards to device-complete before measuring host behavior
+    import jax
+
+    jax.block_until_ready(counter._km)
+    D = counter.D
+    padded_bytes = D * counter._cap * (8 + 8)  # u64 keys + i64 counts
+    shard_bytes = counter._cap * (8 + 8)
+    tracemalloc.start()
+    km, ct = counter.arrays()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    live_bytes = km.nbytes + ct.nbytes
+    # sorted output + argsort scratch + at most ~1.5 shards in flight;
+    # the padded whole-table fetch would exceed this by construction
+    budget = 3 * live_bytes + 2 * shard_bytes + (1 << 20)
+    assert peak < budget, (peak, budget, padded_bytes)
+    assert len(km) == counter.num_unique
+    assert (np.diff(km.astype(np.uint64).view(np.uint64)) > 0).all()
