@@ -388,7 +388,9 @@ def _gapless_eligible(str_vec: list[str]) -> bool:
     _fast_snp_positions proof applied per pair), so the progressive MSA
     is the stacked input rows (SeqAlign.sequence_alignment_gapless).
     Used for >2-branch bubbles; 2-branch ones take _emit_fast."""
-    if len(str_vec) < 2:
+    if not 2 <= len(str_vec) <= 8:
+        # pairwise check is quadratic; >8 equal-length branches within
+        # 2 mismatches of EACH OTHER are combinatorially implausible
         return False
     L = len(str_vec[0])
     if any(len(s) != L for s in str_vec[1:]):

@@ -49,26 +49,40 @@ from .emit import (
 
 def cramer_v(A, B) -> float:
     """Cramér's V between two coverage vectors
-    (CCDBG::computeCramerVCoefficient, src/CCDBG.cpp:330-366)."""
-    A = np.asarray(A, dtype=np.float64)
-    B = np.asarray(B, dtype=np.float64)
-    p = A + B
-    n = float(p.sum())
-    nA = float(A.sum())
-    nB = float(B.sum())
-    count = int((p != 0).sum())
-    if count < 2:
+    (CCDBG::computeCramerVCoefficient, src/CCDBG.cpp:330-366).
+
+    Pure python doubles in the reference's exact accumulation order —
+    IEEE-identical to the C++ loop (and to the previous np.float64
+    scalar version) at a fraction of the per-call overhead; this runs
+    once per color pair per strict bubble."""
+    a = [float(x) for x in A]
+    b = [float(x) for x in B]
+    p = [x + y for x, y in zip(a, b)]
+    n = _seq_sum(p)
+    nA = _seq_sum(a)
+    nB = _seq_sum(b)
+    if sum(1 for x in p if x != 0.0) < 2:
         return 0.0
-    chi = np.float64(0.0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        for i in range(len(A)):
-            if p[i] == 0:
-                continue
-            exA = np.float64(nA) * p[i] / n
-            exB = np.float64(nB) * p[i] / n
-            chi = chi + (A[i] - exA) ** 2 / exA
-            chi = chi + (B[i] - exB) ** 2 / exB
-    return float(np.sqrt(chi / n))
+    chi = 0.0
+    for i in range(len(a)):
+        if p[i] == 0.0:
+            continue
+        exA = nA * p[i] / n
+        exB = nB * p[i] / n
+        # 0/0 -> NaN propagates, exactly as the C++ doubles do
+        try:
+            chi = chi + (a[i] - exA) ** 2 / exA
+            chi = chi + (b[i] - exB) ** 2 / exB
+        except ZeroDivisionError:
+            chi = math.nan
+    return math.sqrt(chi / n) if chi == chi and chi >= 0.0 else math.nan
+
+
+def _seq_sum(v):
+    s = 0.0
+    for x in v:
+        s += x
+    return s
 
 
 def max_cramer(cov_vec: np.ndarray) -> float:
@@ -467,10 +481,15 @@ def analyze_bubbles_colored(
             for i, vs in enumerate(var_site):
                 part = partition[vs]
                 maxnum = max(part)
-                group_cov = np.zeros((C, maxnum), dtype=np.float64)
-                for ci in range(C):
-                    for j in range(len(part)):
-                        group_cov[ci, part[j] - 1] += cov_vec[ci, j]
+                if maxnum == len(part) and part == list(range(1, maxnum + 1)):
+                    # identity partition (the fast-path norm): each
+                    # branch is its own group
+                    group_cov = cov_vec.astype(np.float64, copy=True)
+                else:
+                    group_cov = np.zeros((C, maxnum), dtype=np.float64)
+                    for ci in range(C):
+                        for j in range(len(part)):
+                            group_cov[ci, part[j] - 1] += cov_vec[ci, j]
                 vd = _var_distance(i, var_site, job.u_size, job.exit_size)
                 if vs in indel_pos:
                     indel += 1
@@ -591,10 +610,9 @@ def write_outputs_colored(
                         f"{site.var_num}\t{cpp_double(site.coefficient)}\t"
                         f"{site.var_dis}\t\n"
                     )
+                    rows_list = site.color_group_cov.tolist()
                     for ci in range(C):
-                        res = [
-                            float(c) for c in site.color_group_cov[ci] if c > 0.0
-                        ]
+                        res = [c for c in rows_list[ci] if c > 0.0]
                         if len(res) < 2:
                             continue
                         emit_color_rows(res, ci, tail)
