@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kmer.pack import canonical_np, string_kmers_np
+from ..kmer.pack import canonical_np
 from .cdbg import CDBGraph
 
 

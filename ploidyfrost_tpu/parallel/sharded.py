@@ -32,8 +32,6 @@ bulk-synchronous replacement for MinimizerIndex's striped spin locks
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
