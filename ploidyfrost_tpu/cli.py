@@ -14,6 +14,18 @@ delegates to KMC / Bifrost (script/pipeline/2.kmc_db, 4.bifrost):
     ploidyfrost-tpu build   -k 25 -o graph reads.fq ... [-c min_count]
     ploidyfrost-tpu pipeline -o pre reads.fq ...        # end-to-end
 
+Long flags (any subcommand):
+
+    --devices[=N]   device mesh for counting / superbubble search /
+                    alignment DP / EM (default: auto — every visible
+                    device when more than one; the mesh analog of the
+                    reference's -t threads)
+    --trim[=SPEC]   quality-trim FASTQ reads before counting
+                    (Trimmomatic-style; default SPEC =
+                    LEADING:10,TRAILING:10,SLIDINGWINDOW:3:20,MINLEN:50,
+                    the reference pipeline's arguments; applied in the
+                    native C reader)
+
 Option letters, defaults and validation follow src/Main.cpp:92-199,
 including the getopt fallthrough where `-u X` ALSO assigns the coverage
 file (src/Main.cpp:149-153) — harmless in the uncolored path and
