@@ -75,3 +75,56 @@ def test_devices_flag_validation():
         main(["pipeline", "--devices=x"])
     with pytest.raises(SystemExit, match=">= 1"):
         main(["pipeline", "--devices=0"])
+
+
+def test_pipeline_multi_mesh_byte_parity(tmp_path):
+    """The COLORED end-to-end CLI (pipeline-multi) must also be
+    byte-identical through the mesh: sharded counting per sample,
+    colored sharded search, psum EM."""
+    rng = np.random.default_rng(21)
+    G = 60_000
+    base = rng.integers(0, 4, G)
+    h2 = base.copy()
+    snp = rng.random(G) < 0.005
+    h2[snp] = (h2[snp] + rng.integers(1, 4, snp.sum())) % 4
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    samples = []
+    for s in range(3):
+        p = str(tmp_path / f"s{s}.fa")
+        with open(p, "w") as f:
+            n = 0
+            for hap in (base, h2):
+                for _ in range(13):
+                    for st in rng.integers(0, G - 150, G // 150):
+                        n += 1
+                        f.write(
+                            f">r{n}\n"
+                            + bases[hap[st : st + 150]].tobytes().decode()
+                            + "\n"
+                        )
+        samples.append(p)
+
+    def run(workdir, devices):
+        cwd = os.getcwd()
+        os.chdir(workdir)
+        try:
+            rc = main(
+                ["pipeline-multi", "-o", "out"]
+                + samples
+                + [f"--devices={devices}"]
+            )
+        finally:
+            os.chdir(cwd)
+        assert rc == 0
+
+    d1 = tmp_path / "one"
+    d8 = tmp_path / "mesh"
+    d1.mkdir()
+    d8.mkdir()
+    run(str(d8), 8)
+    run(str(d1), 1)
+    s1 = _snapshot(str(d1))
+    s8 = _snapshot(str(d8))
+    assert set(s1) == set(s8)
+    mismatched = [f for f in sorted(s1) if s1[f] != s8[f]]
+    assert mismatched == [], f"colored mesh CLI outputs differ: {mismatched}"
