@@ -111,7 +111,18 @@ class Options:
 _OPTSTRING = "M:D:G:z:a:l:q:u:e:C:R:o:t:g:f:k:d:m:n:h:ibvpNSc"
 
 
-def parse_options(argv, opt: Options):
+def parse_options(argv, opt: Options, extras: str = ""):
+    """Parse reference-style options into ``opt``.
+
+    ``extras`` lists option letters that are valid for THIS subcommand
+    beyond the reference handler set — e.g. ``-c`` for our native
+    ``build``/``pipeline`` subcommands (the Bifrost CLI's colored flag,
+    bifrost/src/Bifrost.cpp). Letters declared in the reference
+    optstring but with no case handler (-e/-R/-N/-S, and -c outside
+    build) fall through to the reference's ``default:`` which prints
+    "Invalid option" + usage and exits (src/Main.cpp:124, 193-197);
+    we replicate that by raising ValueError("Invalid option ...").
+    """
     opts, args = _getopt(argv, _OPTSTRING)
     opt.inputs = args
     for c, v in opts:
@@ -162,8 +173,10 @@ def parse_options(argv, opt: Options):
             opt.bubble = True
         elif c == "p":
             opt.p = True
-        elif c == "c":
+        elif c == "c" and "c" in extras:
             opt.colored = True
+        else:
+            raise ValueError(f"Invalid option -{c}")
     return opt
 
 
@@ -358,7 +371,7 @@ def cmd_build(argv) -> int:
 
     warm_backend_async()  # compile cache + tunnel warm for the counter
 
-    opt = parse_options(argv, Options())
+    opt = parse_options(argv, Options(), extras="c")
     if opt.colored:
         return build_colored_graph_cli(opt)
     return build_graph_cli(opt)
@@ -392,7 +405,7 @@ def cmd_pipeline(argv) -> int:
     from .pipeline import run_pipeline_cli
 
     argv, trim = _extract_trim(argv)
-    opt = parse_options(argv, Options())
+    opt = parse_options(argv, Options(), extras="c")
     opt.trim = trim
     return run_pipeline_cli(opt)
 
@@ -401,7 +414,7 @@ def cmd_pipeline_multi(argv) -> int:
     from .pipeline import run_multisample_pipeline_cli
 
     argv, trim = _extract_trim(argv)
-    opt = parse_options(argv, Options())
+    opt = parse_options(argv, Options(), extras="c")
     opt.trim = trim
     return run_multisample_pipeline_cli(opt)
 

@@ -19,6 +19,19 @@ def test_invalid_option_prints_usage_and_exits_clean(capsys):
     assert "ploidyfrost" in out.lower() or "usage" in out.lower()
 
 
+def test_orphan_optstring_letters_hard_fail(capsys):
+    """-e/-R/-N/-S are declared in the reference optstring but have no
+    case handler, so they hit ``default:`` -> "Invalid option" + usage
+    + exit(EXIT_FAILURE) (src/Main.cpp:124, 193-197). Same for -c on
+    the main run path (only our build/pipeline subcommands accept it)."""
+    for args in (["-e", "x"], ["-R", "x"], ["-N"], ["-S"], ["-c"],
+                 ["model", "-e", "x"], ["count", "-N", "r.fa"]):
+        rc = main(args)
+        out = capsys.readouterr().out
+        assert rc == 1, args
+        assert "Invalid option" in out, args
+
+
 def test_b_flag_does_not_stop_run(tmp_path, monkeypatch):
     """-b never stops before ploidyEstimation: the reference forces
     bubble=true and p defaults true with no way to unset
