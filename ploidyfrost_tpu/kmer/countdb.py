@@ -25,6 +25,45 @@ from .count import SENTINEL, KmerCounter
 from .pack import canonical_kmers, encode_bases, sequence_kmers
 
 
+def _fused_native_lookup(index, q, counts_2d, C):
+    """One threaded native pass: canonicalize + bucketed probe + [n, C]
+    count-row gather (native/lookup.cpp pf_lookup_canon_multi). Returns
+    (counts [nq, C] int64, hit [nq] bool) or None when the native
+    library is unavailable / the batch is too small to matter.
+
+    `index` is the KmerCountDB holding the sorted key table; counts_2d
+    is a row-major int64 [n_keys(, padded ok), C] array."""
+    from ..native import load_lookup_library
+
+    lib = load_lookup_library()
+    if lib is None or len(q) < 4096:
+        return None
+    import ctypes
+
+    lut, shift = index._make_lut()
+    q = np.ascontiguousarray(q, dtype=np.uint64)
+    counts_2d = np.ascontiguousarray(counts_2d, dtype=np.int64)
+    out = np.empty((len(q), C), dtype=np.int64)
+    hit = np.empty(len(q), dtype=np.uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.pf_lookup_canon_multi(
+        index._km_np.ctypes.data_as(u64p),
+        ctypes.c_int64(index._n),
+        lut.ctypes.data_as(i64p),
+        ctypes.c_int32(shift),
+        ctypes.c_int32(index.k),
+        q.ctypes.data_as(u64p),
+        ctypes.c_int64(len(q)),
+        counts_2d.ctypes.data_as(i64p),
+        ctypes.c_int32(C),
+        out.ctypes.data_as(i64p),
+        hit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(0),
+    )
+    return out, hit.astype(bool)
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _lookup(table_km, table_ct, queries, k):
     canon = canonical_kmers(queries, k)
@@ -58,6 +97,18 @@ class KmerCountDB:
         self._km_dev = None
         self._ct_dev = None
         self._lut = None  # native bucketed-search prefix LUT (lazy)
+
+    def _make_lut(self):
+        if self._lut is None:
+            shift = max(2 * self.k - 16, 0)
+            bounds = (np.arange(65536, dtype=np.uint64) + 1) << np.uint64(
+                shift
+            )
+            lut = np.empty(65537, dtype=np.int64)
+            lut[0] = 0
+            lut[1:] = np.searchsorted(self._km_np, bounds)
+            self._lut = (lut, shift)
+        return self._lut
 
     @property
     def _km(self):
@@ -96,6 +147,12 @@ class KmerCountDB:
         n = len(q)
         if n == 0:
             return np.zeros(0, np.int64), np.zeros(0, bool)
+        fused = _fused_native_lookup(
+            self, q, self._ct_np.reshape(-1, 1), 1
+        )
+        if fused is not None:
+            counts, hit = fused
+            return counts[:, 0], hit
         from .pack import canonical_np
 
         canon = canonical_np(q, self.k)
@@ -116,18 +173,9 @@ class KmerCountDB:
         lib = load_lookup_library()
         if lib is None or len(canon) < 4096:
             return np.searchsorted(self._km_np, canon)
-        if self._lut is None:
-            shift = max(2 * self.k - 16, 0)
-            bounds = (np.arange(65536, dtype=np.uint64) + 1) << np.uint64(
-                shift
-            )
-            lut = np.empty(65537, dtype=np.int64)
-            lut[0] = 0
-            lut[1:] = np.searchsorted(self._km_np, bounds)
-            self._lut = (lut, shift)
         import ctypes
 
-        lut, shift = self._lut
+        lut, shift = self._make_lut()
         canon = np.ascontiguousarray(canon, dtype=np.uint64)
         out = np.empty(len(canon), dtype=np.int64)
         lib.pf_lookup_u64(
@@ -219,6 +267,9 @@ class MultiColorCountDB:
                 np.zeros((len(q), self.C), np.int64),
                 np.zeros(len(q), bool),
             )
+        fused = _fused_native_lookup(self._index, q, self._counts, self.C)
+        if fused is not None:
+            return fused
         canon = canonical_np(q, self.k)
         idx = self._index._search(canon)
         np.clip(idx, 0, max(len(self._index) - 1, 0), out=idx)

@@ -209,10 +209,17 @@ def load_lookup_library():
     def sig(lib):
         u64p = ctypes.POINTER(ctypes.c_uint64)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
         lib.pf_lookup_u64.argtypes = [
             u64p, ctypes.c_int64, i64p, ctypes.c_int32,
             u64p, ctypes.c_int64, i64p,
         ]
         lib.pf_lookup_u64.restype = None
+        lib.pf_lookup_canon_multi.argtypes = [
+            u64p, ctypes.c_int64, i64p, ctypes.c_int32, ctypes.c_int32,
+            u64p, ctypes.c_int64, i64p, ctypes.c_int32, i64p, u8p,
+            ctypes.c_int32,
+        ]
+        lib.pf_lookup_canon_multi.restype = None
 
     return _load_simple("lookup.cpp", "libpflookup.so", _lookup_state, sig)

@@ -7,9 +7,33 @@
 // format: a 2^16-entry prefix LUT narrows each probe to a ~100-entry
 // bucket (L2-resident), then std::lower_bound finishes — ~6x faster
 // than numpy's full-range binary search at 6M-entry tables.
+//
+// pf_lookup_canon_multi fuses the WHOLE probe pipeline that the
+// colored coverage passes used to run as four numpy stages
+// (revcomp + min canonicalization, searchsorted, hit compare,
+// [n, C] count gather) into one threaded scan: the reference's
+// equivalent per-k-mer dance is CKmerAPI::from_string + IsKmer +
+// reverse + CheckKmer per color DB (src/CCDBG.cpp:89-156).
 
 #include <algorithm>
 #include <cstdint>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline uint64_t revcomp64(uint64_t x, int32_t k) {
+  x = ~x;
+  x = ((x >> 2) & 0x3333333333333333ULL) | ((x & 0x3333333333333333ULL) << 2);
+  x = ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL) | ((x & 0x0F0F0F0F0F0F0F0FULL) << 4);
+  x = ((x >> 8) & 0x00FF00FF00FF00FFULL) | ((x & 0x00FF00FF00FF00FFULL) << 8);
+  x = ((x >> 16) & 0x0000FFFF0000FFFFULL) |
+      ((x & 0x0000FFFF0000FFFFULL) << 16);
+  x = (x >> 32) | (x << 32);
+  return x >> (64 - 2 * k);
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -26,5 +50,63 @@ void pf_lookup_u64(const uint64_t* table, int64_t n, const int64_t* lut,
     const uint64_t* hi = table + lut[b + 1];
     out[i] = std::lower_bound(lo, hi, key) - table;
   }
+}
+
+// Fused canonicalize + bucketed probe + per-color count gather,
+// threaded over query chunks (read-only shared state, disjoint output
+// ranges — no synchronization needed).
+//
+//   table/lut/shift : sorted canonical key table + prefix LUT as above
+//   k               : k-mer length (<= 31; canonical = min(v, revcomp))
+//   q[nq]           : raw (either-strand) packed k-mers
+//   counts[n*C]     : row-major per-key count rows (NULL -> skip gather)
+//   counts_out[nq*C]: gathered rows, 0 where miss (NULL -> skip)
+//   hit_out[nq]     : 1 if the canonical query is in the table
+//   n_threads       : worker count (<=0 -> hardware_concurrency)
+void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
+                           const int64_t* lut, int32_t shift, int32_t k,
+                           const uint64_t* q, int64_t nq,
+                           const int64_t* counts, int32_t C,
+                           int64_t* counts_out, uint8_t* hit_out,
+                           int32_t n_threads) {
+  if (nq == 0) return;
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nq < (1 << 15)) nt = 1;  // thread spawn not worth it below ~32k
+  auto work = [&](int64_t lo_i, int64_t hi_i) {
+    for (int64_t i = lo_i; i < hi_i; ++i) {
+      uint64_t v = q[i];
+      const uint64_t r = revcomp64(v, k);
+      if (r < v) v = r;
+      uint64_t b = v >> shift;
+      if (b > 65535) b = 65535;
+      const uint64_t* lo = table + lut[b];
+      const uint64_t* hi = table + lut[b + 1];
+      const int64_t idx = std::lower_bound(lo, hi, v) - table;
+      const bool hit = idx < n && table[idx] == v;
+      hit_out[i] = hit ? 1 : 0;
+      if (counts_out != nullptr) {
+        int64_t* dst = counts_out + i * C;
+        if (hit && counts != nullptr) {
+          const int64_t* src = counts + idx * C;
+          for (int32_t c = 0; c < C; ++c) dst[c] = src[c];
+        } else {
+          for (int32_t c = 0; c < C; ++c) dst[c] = 0;
+        }
+      }
+    }
+  };
+  if (nt == 1) {
+    work(0, nq);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    const int64_t lo_i = nq * t / nt, hi_i = nq * (t + 1) / nt;
+    threads.emplace_back(work, lo_i, hi_i);
+  }
+  for (auto& th : threads) th.join();
 }
 }

@@ -124,15 +124,21 @@ class ColoredBubbleEmission:
 
 
 def _fused(dbs):
-    """Per-invocation cached MultiColorCountDB over the color dbs."""
+    """Cached MultiColorCountDB over the color dbs. The cache tuple
+    holds STRONG references to the db list and compares with `is`, so a
+    recycled id() of a garbage-collected db can never alias a stale
+    fused table (the cycle through dbs[0] is collectable)."""
     from ..kmer.countdb import MultiColorCountDB
 
-    key = tuple(id(d) for d in dbs)
     cached = getattr(dbs[0], "_fused_cache", None)
-    if cached is not None and cached[0] == key:
+    if (
+        cached is not None
+        and len(cached[0]) == len(dbs)
+        and all(a is b for a, b in zip(cached[0], dbs))
+    ):
         return cached[1]
     fused = MultiColorCountDB(dbs)
-    dbs[0]._fused_cache = (key, fused)
+    dbs[0]._fused_cache = (tuple(dbs), fused)
     return fused
 
 
@@ -531,7 +537,7 @@ def analyze_bubbles_colored(
                             # findUnitig(s,0,len) -> colors of the
                             # window's first k-mer (src/CCDBG.cpp:3250)
                             if kindex is None:
-                                kindex = KmerPosIndex(g)
+                                kindex = g.kmer_pos_index()
                             wi, pos, hit = kindex.find_string_head(w)
                             assert hit, f"window head k-mer not in graph: {w[:k]}"
                             window_colors[w] = colors.colors_at(wi, pos).copy()
