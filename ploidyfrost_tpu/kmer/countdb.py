@@ -25,11 +25,12 @@ from .count import SENTINEL, KmerCounter
 from .pack import canonical_kmers, encode_bases, sequence_kmers
 
 
-def _fused_native_lookup(index, q, counts_2d, C):
+def _fused_native_lookup(index, q, counts_2d, C, transpose=False):
     """One threaded native pass: canonicalize + bucketed probe + [n, C]
-    count-row gather (native/lookup.cpp pf_lookup_canon_multi). Returns
-    (counts [nq, C] int64, hit [nq] bool) or None when the native
-    library is unavailable / the batch is too small to matter.
+    count-row gather (native/lookup.cpp pf_lookup_canon_multi_t).
+    Returns (counts int64 — [nq, C], or [C, nq] when `transpose` —
+    and hit [nq] bool), or None when the native library is unavailable
+    / the batch is too small to matter.
 
     `index` is the KmerCountDB holding the sorted key table; counts_2d
     is a row-major int64 [n_keys(, padded ok), C] array."""
@@ -43,11 +44,11 @@ def _fused_native_lookup(index, q, counts_2d, C):
     lut, shift = index._make_lut()
     q = np.ascontiguousarray(q, dtype=np.uint64)
     counts_2d = np.ascontiguousarray(counts_2d, dtype=np.int64)
-    out = np.empty((len(q), C), dtype=np.int64)
+    out = np.empty((C, len(q)) if transpose else (len(q), C), dtype=np.int64)
     hit = np.empty(len(q), dtype=np.uint8)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.pf_lookup_canon_multi(
+    lib.pf_lookup_canon_multi_t(
         index._km_np.ctypes.data_as(u64p),
         ctypes.c_int64(index._n),
         lut.ctypes.data_as(i64p),
@@ -60,6 +61,7 @@ def _fused_native_lookup(index, q, counts_2d, C):
         out.ctypes.data_as(i64p),
         hit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int32(0),
+        ctypes.c_int32(1 if transpose else 0),
     )
     return out, hit.astype(bool)
 
@@ -259,15 +261,24 @@ class MultiColorCountDB:
     def lookup(self, queries):
         """(counts [n, C] int64, hit [n] bool) — one canonicalization,
         one search, C gathers."""
+        counts_t, hit = self.lookup_t(queries)
+        return counts_t.T, hit
+
+    def lookup_t(self, queries):
+        """(counts [C, n] int64, hit [n] bool) — transposed layout:
+        each color's counts are CONTIGUOUS, which is what the reduceat
+        passes in sites/emit_colored.py consume."""
         from .pack import canonical_np
 
         q = np.asarray(queries, dtype=np.uint64).ravel()
         if len(q) == 0 or len(self._counts) == 0:
             return (
-                np.zeros((len(q), self.C), np.int64),
+                np.zeros((self.C, len(q)), np.int64),
                 np.zeros(len(q), bool),
             )
-        fused = _fused_native_lookup(self._index, q, self._counts, self.C)
+        fused = _fused_native_lookup(
+            self._index, q, self._counts, self.C, transpose=True
+        )
         if fused is not None:
             return fused
         canon = canonical_np(q, self.k)
@@ -277,4 +288,4 @@ class MultiColorCountDB:
         counts = np.where(
             hit[:, None], self._counts[np.minimum(idx, len(self._counts) - 1)], 0
         )
-        return counts, hit
+        return np.ascontiguousarray(counts.T), hit

@@ -215,11 +215,11 @@ def load_lookup_library():
             u64p, ctypes.c_int64, i64p,
         ]
         lib.pf_lookup_u64.restype = None
-        lib.pf_lookup_canon_multi.argtypes = [
+        lib.pf_lookup_canon_multi_t.argtypes = [
             u64p, ctypes.c_int64, i64p, ctypes.c_int32, ctypes.c_int32,
             u64p, ctypes.c_int64, i64p, ctypes.c_int32, i64p, u8p,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
         ]
-        lib.pf_lookup_canon_multi.restype = None
+        lib.pf_lookup_canon_multi_t.restype = None
 
     return _load_simple("lookup.cpp", "libpflookup.so", _lookup_state, sig)

@@ -60,15 +60,18 @@ void pf_lookup_u64(const uint64_t* table, int64_t n, const int64_t* lut,
 //   k               : k-mer length (<= 31; canonical = min(v, revcomp))
 //   q[nq]           : raw (either-strand) packed k-mers
 //   counts[n*C]     : row-major per-key count rows (NULL -> skip gather)
-//   counts_out[nq*C]: gathered rows, 0 where miss (NULL -> skip)
+//   counts_out      : gathered counts, 0 where miss (NULL -> skip);
+//                     [nq, C] row-major, or [C, nq] when transpose_out
+//                     (contiguous per-color vectors for the reduceat
+//                     passes in sites/emit_colored.py)
 //   hit_out[nq]     : 1 if the canonical query is in the table
 //   n_threads       : worker count (<=0 -> hardware_concurrency)
-void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
-                           const int64_t* lut, int32_t shift, int32_t k,
-                           const uint64_t* q, int64_t nq,
-                           const int64_t* counts, int32_t C,
-                           int64_t* counts_out, uint8_t* hit_out,
-                           int32_t n_threads) {
+void pf_lookup_canon_multi_t(const uint64_t* table, int64_t n,
+                             const int64_t* lut, int32_t shift, int32_t k,
+                             const uint64_t* q, int64_t nq,
+                             const int64_t* counts, int32_t C,
+                             int64_t* counts_out, uint8_t* hit_out,
+                             int32_t n_threads, int32_t transpose_out) {
   if (nq == 0) return;
   int nt = n_threads > 0 ? n_threads
                          : (int)std::thread::hardware_concurrency();
@@ -87,12 +90,14 @@ void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
       const bool hit = idx < n && table[idx] == v;
       hit_out[i] = hit ? 1 : 0;
       if (counts_out != nullptr) {
-        int64_t* dst = counts_out + i * C;
-        if (hit && counts != nullptr) {
-          const int64_t* src = counts + idx * C;
-          for (int32_t c = 0; c < C; ++c) dst[c] = src[c];
+        const int64_t* src =
+            (hit && counts != nullptr) ? counts + idx * C : nullptr;
+        if (transpose_out) {
+          for (int32_t c = 0; c < C; ++c)
+            counts_out[c * nq + i] = src ? src[c] : 0;
         } else {
-          for (int32_t c = 0; c < C; ++c) dst[c] = 0;
+          int64_t* dst = counts_out + i * C;
+          for (int32_t c = 0; c < C; ++c) dst[c] = src ? src[c] : 0;
         }
       }
     }
@@ -108,5 +113,16 @@ void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
     threads.emplace_back(work, lo_i, hi_i);
   }
   for (auto& th : threads) th.join();
+}
+
+// Backwards-compatible row-major entry point.
+void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
+                           const int64_t* lut, int32_t shift, int32_t k,
+                           const uint64_t* q, int64_t nq,
+                           const int64_t* counts, int32_t C,
+                           int64_t* counts_out, uint8_t* hit_out,
+                           int32_t n_threads) {
+  pf_lookup_canon_multi_t(table, n, lut, shift, k, q, nq, counts, C,
+                          counts_out, hit_out, n_threads, 0);
 }
 }

@@ -97,6 +97,53 @@ def max_cramer(cov_vec: np.ndarray) -> float:
     return coefficient
 
 
+def max_cramer_batch(covs: np.ndarray) -> np.ndarray:
+    """Vectorized max_cramer over a [N, C, B] stack of coverage
+    vectors — IEEE-identical to the scalar loop for B <= 3 branches
+    (the dominant population: 2-branch strict bubbles).
+
+    Exactness argument: the reference accumulates chi as
+    `chi += aterm_i; chi += bterm_i` over branches in order
+    (src/CCDBG.cpp:330-366); the interleaved 2B-term row reduce below
+    is strictly left-to-right for row lengths <= 7 (numpy pairwise
+    summation only reorders above 8 elements), so every partial sum
+    matches the C++ double sequence bit-for-bit. Rows with B > 3 fall
+    back to the scalar path."""
+    N, C, B = covs.shape
+    if N == 0:
+        return np.zeros(0, dtype=np.float64)
+    if 2 * B > 7:
+        return np.array([max_cramer(c) for c in covs], dtype=np.float64)
+    covs = covs.astype(np.float64, copy=False)
+    pairs = [(ci, cj) for ci in range(C - 1) for cj in range(ci + 1, C)]
+    vs = np.empty((N, len(pairs)), dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for pi, (ci, cj) in enumerate(pairs):
+            a = covs[:, ci]  # [N, B]
+            b = covs[:, cj]
+            p = a + b
+            n = np.add.reduce(p, axis=1)
+            nA = np.add.reduce(a, axis=1)
+            nB = np.add.reduce(b, axis=1)
+            pmask = p != 0.0
+            exA = nA[:, None] * p / n[:, None]
+            exB = nB[:, None] * p / n[:, None]
+            ta = (a - exA) ** 2 / exA  # 0/0 -> NaN, as the C++ doubles
+            tb = (b - exB) ** 2 / exB
+            terms = np.empty((N, 2 * B), dtype=np.float64)
+            terms[:, 0::2] = np.where(pmask, ta, 0.0)
+            terms[:, 1::2] = np.where(pmask, tb, 0.0)
+            chi = np.add.reduce(terms, axis=1)
+            v = np.sqrt(chi / n)  # NaN/negative chi -> NaN
+            v = np.where((chi == chi) & (chi >= 0.0), v, np.nan)
+            v = np.where(pmask.sum(axis=1) < 2, 0.0, v)
+            vs[:, pi] = v
+    # sequential `coefficient = v if coefficient < v else coefficient`
+    # from 0.0 == max over the non-NaN vs and 0.0
+    vv = np.where(np.isnan(vs), -np.inf, vs)
+    return np.maximum(0.0, vv.max(axis=1))
+
+
 @dataclass
 class ColoredSiteEmission:
     maxnum: int
@@ -151,15 +198,15 @@ def unitig_coverage_colored(dbs, g: CDBGraph, cutoffs):
     starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     C = len(dbs)
-    call, hit = _fused(dbs).lookup(flat)
-    call = call.astype(np.float64)
+    call_t, hit = _fused(dbs).lookup_t(flat)
     mean = np.empty((len(lens), C), dtype=np.float64)
     ok = np.empty((len(lens), C), dtype=bool)
     for c in range(C):
         low, up = cutoffs[c]
-        counts = call[:, c]
+        counts = call_t[c]  # contiguous int64; sums < 2^53 stay exact,
+        # so int64 reduceat + one float divide == the float64 reduceat
         inb = hit & (counts > low) & (counts < up)
-        ok[:, c] = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
+        ok[:, c] = np.minimum.reduceat(inb.view(np.uint8), starts) > 0
         mean[:, c] = np.add.reduceat(counts, starts) / lens
     return mean, ok
 
@@ -188,15 +235,14 @@ def window_coverage_colored(dbs, strings: list[str], cutoffs):
     flat, _ = wstore.all_kmers(k)
     starts = offs[:-1]
     C = len(dbs)
-    call, hit = _fused(dbs).lookup(flat)
-    call = call.astype(np.float64)
+    call_t, hit = _fused(dbs).lookup_t(flat)
     means = np.empty((len(lens), C), dtype=np.float64)
     oks = np.empty((len(lens), C), dtype=bool)
     for c in range(C):
         low, up = cutoffs[c]
-        counts = call[:, c]
+        counts = call_t[c]
         inb = hit & (counts > low) & (counts < up)
-        oks[:, c] = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
+        oks[:, c] = np.minimum.reduceat(inb.view(np.uint8), starts) > 0
         means[:, c] = np.add.reduceat(counts, starts) / lens
     for i, s in enumerate(uniq):
         out[s] = (means[i], oks[i])
@@ -443,12 +489,26 @@ def analyze_bubbles_colored(
         for i, fa in zip(slow_idx, slow_firsts):
             firsts[i] = fa
 
+    # per-bubble Cramér coefficients for every strict job in one
+    # vectorized pass per branch-count group (max_cramer_batch)
+    coeffs: dict[int, float] = {}
+    by_b: dict[int, list[int]] = {}
+    for i, j in enumerate(jobs):
+        if j.is_strict:
+            by_b.setdefault(j.cov_vec.shape[1], []).append(i)
+    for _b, idxs in by_b.items():
+        out = max_cramer_batch(np.stack([jobs[i].cov_vec for i in idxs]))
+        for i, v in zip(idxs, out):
+            coeffs[i] = float(v)
+
     emissions: list[ColoredBubbleEmission] = []
     # VarIds are consumed POST-alignment: an empty compareStrPair result
     # (all co-optimal tracebacks over the 5-indel-run cap) consumes no
     # id and emits nothing (src/CCDBG.cpp:2945-2947)
     var_count = 0
-    for job, fa, fsnp, gl in zip(jobs, firsts, fast, gapless):
+    for job_i, (job, fa, fsnp, gl) in enumerate(
+        zip(jobs, firsts, fast, gapless)
+    ):
         if fsnp is not None:
             # unique diagonal alignment: rows are the branches
             # unchanged, every variant column is a biallelic SNP with
@@ -483,7 +543,7 @@ def analyze_bubbles_colored(
         indel = 0
         if job.is_strict:
             cov_vec = job.cov_vec
-            coefficient = max_cramer(cov_vec)
+            coefficient = coeffs[job_i]
             for i, vs in enumerate(var_site):
                 part = partition[vs]
                 maxnum = max(part)
