@@ -316,16 +316,22 @@ def cmd_count(argv) -> int:
     counter = make_counter(opt.k)
     for batch in read_batches(opt.inputs, opt.k):
         counter.add_reads(batch)
-    counter.write_histogram(opt.outprefix + ".hist.txt")
     import numpy as np
 
+    from .parallel.mesh import is_primary
+
+    # multi-host (PLOIDYFROST_COORDINATOR set): every process counts
+    # its device shards and finalizes the identical global table; only
+    # process 0 writes the shared-filesystem artifacts
     km, ct = counter.arrays()
-    np.savez(
-        opt.outprefix + ".kmers.npz",
-        kmers=np.asarray(km),
-        counts=np.asarray(ct),
-        k=opt.k,
-    )
+    if is_primary():
+        counter.write_histogram(opt.outprefix + ".hist.txt")
+        np.savez(
+            opt.outprefix + ".kmers.npz",
+            kmers=np.asarray(km),
+            counts=np.asarray(ct),
+            k=opt.k,
+        )
     print(
         f"count: {counter.total_kmers} k-mer instances, "
         f"{counter.num_unique} distinct (k={opt.k})"
@@ -425,8 +431,15 @@ def main(argv=None) -> int:
     # superbubble search, EM). Default auto: all visible devices when
     # more than one. The reference's equivalent axis is -t threads
     # (src/Main.cpp:124); ours is the device mesh (parallel/mesh.py).
-    from .parallel.mesh import extract_devices_flag, set_mesh_spec
+    from .parallel.mesh import (
+        extract_devices_flag,
+        maybe_distributed_init,
+        set_mesh_spec,
+    )
 
+    # multi-host init MUST precede any backend use (warm threads, device
+    # queries); no-op unless PLOIDYFROST_COORDINATOR is set
+    maybe_distributed_init()
     argv, devspec = extract_devices_flag(argv)
     set_mesh_spec(devspec)
     if not argv:

@@ -27,6 +27,48 @@ from __future__ import annotations
 _spec: int | str | None = None  # None = not yet resolved (env/auto)
 _cached = False
 _mesh = None
+_dist_initialized = False
+
+
+def maybe_distributed_init() -> bool:
+    """Multi-HOST initialization (SURVEY §5: JAX collectives over ICI
+    within a slice, DCN across hosts). Env-driven, one call per process:
+
+        PLOIDYFROST_COORDINATOR   host:port of process 0
+        PLOIDYFROST_NUM_PROCESSES total process count
+        PLOIDYFROST_PROCESS_ID    this process's rank
+        PLOIDYFROST_LOCAL_DEVICES (optional) per-process CPU device
+                                  count — CPU-mesh testing of the
+                                  multi-host path without N real hosts
+
+    When PLOIDYFROST_COORDINATOR is unset this is a no-op (single
+    process). After it runs, jax.devices() is the GLOBAL device list
+    and resolve_mesh() builds a process-spanning mesh; cross-host
+    collectives ride the distributed backend (Gloo on CPU, DCN on TPU
+    pods). Returns True when running multi-process."""
+    global _dist_initialized
+    import os
+
+    coord = os.environ.get("PLOIDYFROST_COORDINATOR")
+    if not coord:
+        return False
+    if _dist_initialized:
+        return True
+    import jax
+
+    local = os.environ.get("PLOIDYFROST_LOCAL_DEVICES")
+    if local:
+        # CPU-backend drill: force platform before backend init (the
+        # axon plugin otherwise wins regardless of JAX_PLATFORMS)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(local))
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["PLOIDYFROST_NUM_PROCESSES"]),
+        process_id=int(os.environ["PLOIDYFROST_PROCESS_ID"]),
+    )
+    _dist_initialized = True
+    return True
 
 
 def set_mesh_spec(spec: int | str | None) -> None:
@@ -42,6 +84,17 @@ def set_mesh_spec(spec: int | str | None) -> None:
     _spec = spec
     _cached = False
     _mesh = None
+
+
+def is_primary() -> bool:
+    """True on the artifact-writing process (process 0, or always in
+    single-process mode). Multi-host CLI runs share a filesystem; every
+    process computes the identical finalized tables, but only the
+    primary writes them."""
+    maybe_distributed_init()
+    import jax
+
+    return jax.process_index() == 0
 
 
 def extract_devices_flag(argv: list[str]):
@@ -76,6 +129,7 @@ def resolve_mesh():
     if _cached:
         return _mesh
     _cached = True
+    maybe_distributed_init()
     import jax
 
     from .sharded import balanced_mesh

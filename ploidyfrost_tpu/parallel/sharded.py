@@ -260,13 +260,18 @@ class ShardedKmerCounter:
         self._done_inst = 0
         # optional total-instance hint for the growth projection bound
         self._inst_hint = expected_instances
+        self._finalized = None  # cached arrays() result (one collective)
 
     def _pick_quotas(self, codes) -> None:
         """Size the two routing quotas from the FIRST batch's actual
         valid-k-mer count (reads are usually much shorter than the
         window width, so padded slots overstate the real volume by
         3-4x). 2x headroom over the balanced-hash expectation; overflow
-        still grows and replays, so a tight start is safe."""
+        still grows and replays, so a tight start is safe.
+
+        `codes` may be a host batch or a (multi-host) global device
+        array; either way the count — and therefore the quota and the
+        compiled step — is identical on every process."""
         import jax
 
         if self._quota is not None:
@@ -286,20 +291,52 @@ class ShardedKmerCounter:
 
     # -- ingestion -------------------------------------------------------
 
-    def add_reads(self, codes) -> None:
+    def _global_batch(self, codes):
+        """Host batch -> (batch array for the step, global instance
+        count). Every process passes the SAME global batch (the CLI
+        feeders read the same files on a shared filesystem); padding to
+        a device-count multiple is identical everywhere, so the padded
+        global batch — and every downstream table — is byte-identical
+        to the single-process run. Multi-host, each process then
+        device_puts only ITS contiguous row slice (its addressable
+        shards of the global data-parallel batch)."""
+        import jax
+
         b = np.asarray(codes, dtype=np.uint8)
         if b.shape[0] % self.D:
             # pad the batch dim to a multiple of the device count with
             # invalid rows (code 0xF > 3 -> every window invalid)
             pad = self.D - b.shape[0] % self.D
-            b = np.concatenate([b, np.full((pad, b.shape[1]), 0x0F, np.uint8)])
+            b = np.concatenate(
+                [b, np.full((pad, b.shape[1]), 0x0F, np.uint8)]
+            )
         n_inst = b.shape[0] * (b.shape[1] - self.k + 1)
+        nproc = jax.process_count()
+        if nproc == 1:
+            return b, n_inst
+        local_rows = b.shape[0] // nproc
+        pid = jax.process_index()
+        from jax.sharding import NamedSharding
+
+        s = NamedSharding(self.mesh, P(("data", "shard")))
+        g = jax.make_array_from_process_local_data(
+            s,
+            np.ascontiguousarray(
+                b[pid * local_rows : (pid + 1) * local_rows]
+            ),
+            global_shape=(b.shape[0], b.shape[1]),
+        )
+        return g, n_inst
+
+    def add_reads(self, codes) -> None:
+        b, n_inst = self._global_batch(codes)
         if self._quota is None or self._quota2 is None:
             self._pick_quotas(b)
         if self._step is None:
             self._step = build_sharded_count_step(
                 self.mesh, self.k, self._cap, self._quota, self._quota2
             )
+        self._finalized = None
         while True:
             nkm, nct, nhist, overflow, ni = self._step(b, self._km, self._ct)
             if not bool(overflow):
@@ -345,7 +382,21 @@ class ShardedKmerCounter:
         """(sorted unique canonical k-mers u64, saturated counts int64),
         streamed off-device ONE SHARD AT A TIME (each shard is fetched,
         filtered, then released before the next — peak extra host memory
-        is one shard's slice, not the padded global table)."""
+        is one shard's slice, not the padded global table).
+
+        Multi-host: every process first collects its LOCAL shards, then
+        the per-process (k-mer, count) sets are exchanged with one
+        ragged host all-gather — each key lives on exactly one device,
+        so the union is exact and every process returns the same global
+        sorted table. The result is CACHED until the next add_reads:
+        collectives must be entered by every process the same number of
+        times, so repeated finalization reads (histogram + arrays) must
+        not re-gather."""
+        import jax
+
+        cached = getattr(self, "_finalized", None)
+        if cached is not None:
+            return cached
         kms, cts = [], []
         kshards = sorted(self._km.addressable_shards, key=lambda s: s.index)
         cshards = sorted(self._ct.addressable_shards, key=lambda s: s.index)
@@ -356,8 +407,11 @@ class ShardedKmerCounter:
             cts.append(np.asarray(cs.data).ravel()[live])
         km = np.concatenate(kms) if kms else np.empty(0, np.uint64)
         ct = np.concatenate(cts) if cts else np.empty(0, np.int64)
+        if jax.process_count() > 1:
+            km, ct = _ragged_allgather_pairs(km, ct)
         order = np.argsort(km)
-        return km[order], np.minimum(ct[order], self.counter_max)
+        self._finalized = (km[order], np.minimum(ct[order], self.counter_max))
+        return self._finalized
 
     def histogram(self, max_cov: int | None = None) -> np.ndarray:
         """hist[c] = number of distinct k-mers with saturated count c.
@@ -402,6 +456,26 @@ def _pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 1).bit_length()
 
 
+def _ragged_allgather_pairs(km: np.ndarray, ct: np.ndarray):
+    """All-gather per-process ragged (k-mer, count) arrays across hosts:
+    pad every process's slice to the psum'd maximum length with
+    sentinels, one tiled process_allgather, drop the padding."""
+    from jax.experimental import multihost_utils
+
+    lens = multihost_utils.process_allgather(
+        np.array([len(km)], dtype=np.int64), tiled=True
+    )
+    n_max = int(np.asarray(lens).max())
+    pk = np.full(n_max, SENTINEL, dtype=np.uint64)
+    pc = np.zeros(n_max, dtype=np.int64)
+    pk[: len(km)] = km
+    pc[: len(ct)] = ct
+    all_km = multihost_utils.process_allgather(pk, tiled=True)
+    all_ct = multihost_utils.process_allgather(pc, tiled=True)
+    live = all_km != SENTINEL
+    return all_km[live], all_ct[live]
+
+
 def _expand_tables(mesh: Mesh, km, ct, old_cap: int, new_cap: int):
     """Grow each shard's table region from old_cap to new_cap slots ON
     DEVICE, preserving contents (sorted entries first, sentinel padding
@@ -429,12 +503,20 @@ def _expand_tables(mesh: Mesh, km, ct, old_cap: int, new_cap: int):
 
 def init_sharded_table(mesh: Mesh, table_cap: int):
     """Empty count table: logical [D * cap] sharded over the full mesh,
-    sentinel-filled (sentinels sort last in the collapse)."""
+    sentinel-filled (sentinels sort last in the collapse). Created
+    INSIDE jit so it works identically on a single process and on a
+    process-spanning (multi-host) mesh, where device_put of host data
+    onto non-addressable devices is not possible."""
     D = mesh.shape["data"] * mesh.shape["shard"]
-    km = jnp.full((D * table_cap,), SENTINEL, dtype=jnp.uint64)
-    ct = jnp.zeros((D * table_cap,), dtype=jnp.int64)
     s = NamedSharding(mesh, P(("data", "shard")))
-    return jax.device_put(km, s), jax.device_put(ct, s)
+
+    def make():
+        return (
+            jnp.full((D * table_cap,), SENTINEL, dtype=jnp.uint64),
+            jnp.zeros((D * table_cap,), dtype=jnp.int64),
+        )
+
+    return jax.jit(make, out_shardings=(s, s))()
 
 
 def build_sharded_em_step(mesh: Mesh):
