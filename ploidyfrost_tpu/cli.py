@@ -440,6 +440,15 @@ def main(argv=None) -> int:
     # multi-host init MUST precede any backend use (warm threads, device
     # queries); no-op unless PLOIDYFROST_COORDINATOR is set
     maybe_distributed_init()
+    # --device-build: run the graph-construction junction sort on the
+    # accelerator (graph/construct._links_junctions_device) instead of
+    # the native host radix kernel. Meant for PCIe/ICI-attached devices;
+    # through this environment's tunnel the host kernel wins (BASELINE.md)
+    if "--device-build" in argv:
+        import os
+
+        os.environ["PLOIDYFROST_DEVICE_BUILD"] = "1"
+        argv = [a for a in argv if a != "--device-build"]
     argv, devspec = extract_devices_flag(argv)
     set_mesh_spec(devspec)
     if not argv:

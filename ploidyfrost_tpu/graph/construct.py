@@ -368,6 +368,116 @@ def _links_junctions_fast(
     return nxt
 
 
+def _device_link_step(N: int):
+    """Jitted core of the device linking path: stable sort of the
+    junction keys, pair detection with shifted comparisons (no
+    scatters), and a second sort to return partner ids in node order.
+    Shapes padded to N (power of two) so the program is reused across
+    datasets."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(jc, pol, pal):
+        idx = jnp.arange(N, dtype=jnp.int64)
+        js, idx_o, pol_o, pal_o = jax.lax.sort(
+            (jc, idx, pol, pal), num_keys=1, is_stable=True
+        )
+        first = jnp.concatenate(
+            [jnp.ones(1, bool), js[1:] != js[:-1]]
+        )
+        nxt1 = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+        nxt2 = jnp.concatenate([first[2:], jnp.ones(2, bool)])
+        pol_n = jnp.roll(pol_o, -1)
+        pal_n = jnp.roll(pal_o, -1)
+        idx_n = jnp.roll(idx_o, -1)
+        pair_start = (
+            first
+            & ~nxt1
+            & nxt2
+            & (pol_o != pol_n)
+            & ~pal_o
+            & ~pal_n
+            & ((idx_o >> 1) != (idx_n >> 1))  # not_self
+        )
+        pair_second = jnp.concatenate([jnp.zeros(1, bool), pair_start[:-1]])
+        idx_p = jnp.roll(idx_o, 1)
+        val = jnp.where(
+            pair_start,
+            idx_n ^ 1,
+            jnp.where(pair_second, idx_p ^ 1, jnp.int64(-1)),
+        )
+        # return to node order: sort (idx_o, val) by idx_o
+        _, nxt = jax.lax.sort((idx_o, val), num_keys=1)
+        return nxt
+
+    return step
+
+
+_device_link_cache: dict = {}
+
+
+def _links_junctions_device(
+    km: np.ndarray, rc: np.ndarray, k: int
+) -> np.ndarray:
+    """_links_junctions with the junction sort ON DEVICE (the
+    `--device-build` path): identical semantics — same junction keys,
+    same exactly-one-stub-per-polarity pairing, same palindromic-probe
+    fallback — with the dominant cost (the 2n-stub sort) expressed as
+    jax.lax.sort so it runs on the accelerator's sort unit instead of
+    the host cores. This is the mapping BASELINE.md's device-construction
+    argument describes: the same sort primitive the counting collapse
+    uses (parallel/sharded.py), applied to linking
+    (bifrost/src/CompactedDBG.tcc:2994-3320's role).
+
+    On tunnel-attached devices this loses to the native radix kernel
+    (transfer-bound; measured in BASELINE.md) — it exists for
+    PCIe/ICI-attached deployments and is equivalence-tested against the
+    host path (tests/test_construct.py)."""
+    n = len(km)
+    if n == 0:
+        return np.full(0, -1, dtype=np.int64)
+    mask_j = np.uint64((1 << (2 * (k - 1))) - 1)
+    suf = np.empty(2 * n, dtype=np.uint64)
+    suf[0::2] = km & mask_j
+    suf[1::2] = rc & mask_j
+    suf_rc = _revcomp_np(suf, k - 1)
+    jc = np.minimum(suf, suf_rc)
+    pol = suf == jc
+    pal = suf == suf_rc
+
+    N = 1 << (2 * n - 1).bit_length()
+    jc_p = np.full(N, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    pol_p = np.ones(N, dtype=bool)  # pad stubs share polarity: unlinkable
+    pal_p = np.zeros(N, dtype=bool)
+    jc_p[: 2 * n] = jc
+    pol_p[: 2 * n] = pol
+    pal_p[: 2 * n] = pal
+
+    step = _device_link_cache.get(N)
+    if step is None:
+        step = _device_link_step(N)
+        _device_link_cache[N] = step
+    # copy: the fetched jax buffer is read-only and the pal fallback
+    # writes in place
+    nxt_node = np.array(step(jc_p, pol_p, pal_p)[: 2 * n])
+    # pad partners cannot occur: pads share one sentinel run with equal
+    # polarity, so no pad ever pairs
+    if pal.any():
+        order = np.argsort(jc, kind="stable")
+        js = jc[order]
+        run_start = np.empty(len(js), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = js[1:] != js[:-1]
+        run_id = np.cumsum(run_start) - 1
+        has_pal = np.zeros(int(run_id[-1]) + 1, dtype=bool)
+        np.logical_or.at(has_pal, run_id, pal[order])
+        _apply_pal_fallback(km, rc, k, nxt_node, order[has_pal[run_id]])
+    return nxt_node
+
+
 def _rank_chains_fast(nxt_node: np.ndarray):
     """(order, chain_start) via the native O(n) walk
     (native/chain_rank.cpp) when available, else the numpy
@@ -402,13 +512,18 @@ def _rank_chains_fast(nxt_node: np.ndarray):
 
 def build_graph_from_kmers(kmers: np.ndarray, k: int) -> CDBGraph:
     """Compact a sorted distinct canonical k-mer set into unitigs."""
+    import os
+
     km = np.asarray(kmers, dtype=np.uint64)
     n = len(km)
     if n == 0:
         return CDBGraph([], k)
     rc = _revcomp_np(km, k)
 
-    nxt_node = _links_junctions_fast(km, rc, k)
+    if os.environ.get("PLOIDYFROST_DEVICE_BUILD"):
+        nxt_node = _links_junctions_device(km, rc, k)
+    else:
+        nxt_node = _links_junctions_fast(km, rc, k)
     order, chain_start = _rank_chains_fast(nxt_node)
     starts = np.flatnonzero(chain_start)
     ends = np.append(starts[1:], len(order))

@@ -213,6 +213,54 @@ def test_junction_links_match_probe_links():
             np.testing.assert_array_equal(got, exp, err_msg=f"k={k} n={n}")
 
 
+def test_device_links_match_host_links():
+    """The --device-build linking path (jax.lax.sort junction sort,
+    graph/construct._links_junctions_device) must produce EXACTLY the
+    host links on random and genome-like k-mer sets, palindromic
+    junctions included."""
+    from ploidyfrost_tpu.graph.construct import (
+        _links_junctions,
+        _links_junctions_device,
+        _revcomp_np,
+    )
+
+    rng = np.random.default_rng(5)
+    for k in (5, 7, 25):
+        for n in (50, 700, 4000):
+            km = rng.integers(0, 1 << (2 * k), size=n, dtype=np.uint64)
+            km = np.unique(_canon_np(km, k))
+            rc = _revcomp_np(km, k)
+            np.testing.assert_array_equal(
+                _links_junctions_device(km, rc, k),
+                _links_junctions(km, rc, k),
+                err_msg=f"k={k} n={n}",
+            )
+
+
+def test_device_build_graph_identical(tmp_path, monkeypatch):
+    """build_graph_from_kmers under PLOIDYFROST_DEVICE_BUILD writes a
+    byte-identical GFA."""
+    from ploidyfrost_tpu.graph.construct import build_graph_from_kmers
+    from ploidyfrost_tpu.kmer.pack import canonical_np, sequence_kmers_np
+
+    rng = np.random.default_rng(9)
+    g1 = rng.integers(0, 4, 30_000).astype(np.uint8)
+    g2 = g1.copy()
+    snp = rng.random(30_000) < 0.01
+    g2[snp] = (g2[snp] + rng.integers(1, 4, snp.sum())) % 4
+    k1, _ = sequence_kmers_np(g1, 25)
+    k2, _ = sequence_kmers_np(g2, 25)
+    km = np.unique(canonical_np(np.concatenate([k1, k2]), 25))
+
+    monkeypatch.delenv("PLOIDYFROST_DEVICE_BUILD", raising=False)
+    build_graph_from_kmers(km, 25).write_gfa(str(tmp_path / "host.gfa"))
+    monkeypatch.setenv("PLOIDYFROST_DEVICE_BUILD", "1")
+    build_graph_from_kmers(km, 25).write_gfa(str(tmp_path / "dev.gfa"))
+    assert (tmp_path / "host.gfa").read_bytes() == (
+        tmp_path / "dev.gfa"
+    ).read_bytes()
+
+
 def test_junction_links_match_probe_links_genome_like():
     from ploidyfrost_tpu.graph.construct import (
         _links_junctions,
