@@ -50,11 +50,21 @@ import time
 
 import numpy as np
 
+# Counting baseline: the KMC2-class single-host figure (3.0e7 k-mers/s)
+# is the STRICTER anchor and stays the vs_baseline denominator. The
+# measured local anchor is far lower: the vendored Bifrost's own
+# counting-equivalent span (KmerStream F0 pass + 2-pass Blocked-Bloom
+# filter, bifrost/src/CompactedDBG.tcc:2769-2991) on the identical
+# bench5m reads took 26.8 s median-of-3 for 105.0M k-mer instances on
+# this VM (-t 2, 2026-08-21) = 3.9e6 k-mers/s.
 BASELINE_KMERS_PER_S = 3.0e7  # KMC2-class single-host counting
 BASELINE_BUILD_WALL_S = 22.3  # measured Bifrost build, bench5m reads
 BASELINE_RUN_WALL_S = 20.4  # reference `run`, bench5m (BASELINE.md)
 BASELINE_ANALYSIS_PER_S = 9090.0  # reference bubbles+sites/s (BASELINE.md)
-BASELINE_COLORED_PER_S = 18957.0  # (81958+12829)/5s measured (BASELINE.md)
+# reference colored run on bench4m-colored: findSuperBubble 1 s (35,312
+# superbubbles) + ploidyEstimation 4 s (59,910 allele-class rows)
+# -> (35,312 + 59,910) / 5 s (BASELINE.md "bench4m-colored" table)
+BASELINE_COLORED_PER_S = 19044.0
 
 K = 25
 BATCH_READS = 16384
