@@ -75,10 +75,14 @@ def _iter_fastq(f) -> Iterator[tuple[bytes, bytes]]:
         if not hdr:
             return
         if not hdr.startswith((b"@", b">")):
-            # kseq scans forward to the next '@'/'>' record marker
-            # (bifrost/src/kseq.h ks_getuntil loop): blank separator
+            # junk-line skip, LINE-level approximation of kseq's
+            # char-level scan (bifrost/src/kseq.h): blank separator
             # lines (e.g. the unconsumed empty quality of a zero-length
-            # read) and junk lines are skipped, not treated as headers
+            # read) and junk lines are skipped, not treated as headers.
+            # kseq would instead start a record at an '@'/'>' appearing
+            # MID-line; on well-formed FASTQ the two are identical, and
+            # the Python and native readers agree with each other
+            # (parity-tested) on malformed input
             continue
         seq_parts: list[bytes] = []
         line = f.readline()

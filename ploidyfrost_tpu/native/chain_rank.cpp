@@ -74,20 +74,27 @@ void pf_chain_rank(const int64_t* nxt, int64_t n, int64_t* order,
                    uint8_t* chain_start) {
   std::vector<uint8_t> has_prev(n, 0);
   {
-    // split by source range; writes land anywhere but always store 1 —
-    // a benign same-value race
-    auto mark = [&](int64_t lo, int64_t hi) {
-      for (int64_t i = lo; i < hi; ++i) {
+    // split by source range; each thread fills a PRIVATE bitmap and
+    // the results are OR-merged after join (concurrent plain stores to
+    // the same byte, even of the same value, are UB under the C++
+    // memory model — TSan would flag the former shared-array version)
+    if (n > (1 << 20)) {
+      std::vector<uint8_t> other(n, 0);
+      auto mark = [&](uint8_t* dst, int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+          const int64_t j = nxt[i];
+          if (j >= 0) dst[j] = 1;
+        }
+      };
+      std::thread th(mark, other.data(), n / 2, n);
+      mark(has_prev.data(), 0, n / 2);
+      th.join();
+      for (int64_t i = 0; i < n; ++i) has_prev[i] |= other[i];
+    } else {
+      for (int64_t i = 0; i < n; ++i) {
         const int64_t j = nxt[i];
         if (j >= 0) has_prev[j] = 1;
       }
-    };
-    if (n > (1 << 20)) {
-      std::thread th(mark, n / 2, n);
-      mark(0, n / 2);
-      th.join();
-    } else {
-      mark(0, n);
     }
   }
   std::vector<int64_t> heads;
