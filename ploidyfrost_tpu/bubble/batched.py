@@ -431,18 +431,20 @@ def _replay_fast(
         if stt == STAT_NONE:
             continue
         if stt == STAT_OVERFLOW:
-            # rare host fallback needs the real BubbleState: sync down,
-            # run, sync back up
-            state.flags = np.array(flags, dtype=np.uint8)
-            state.plus = np.array(plus, dtype=np.int64)
-            state.minus = np.array(minus, dtype=np.int64)
+            # host fallback: run the exact search on a VIEW over the
+            # replay's own flat lists — BubbleState's ops are all
+            # per-element, so plain lists satisfy the same API and the
+            # former per-seed whole-array sync (O(n) both ways PER
+            # overflow seed: quadratic at 1M+ unitigs, the round-4
+            # 50 Mbp wall) disappears
+            lview = BubbleState.__new__(BubbleState)
+            lview.flags = flags
+            lview.plus = plus
+            lview.minus = minus
             extract_superbubble(
-                g, state, UnitigHandle(g, i, bool(strand)), complex_size,
+                g, lview, UnitigHandle(g, i, bool(strand)), complex_size,
                 colors,
             )
-            flags = state.flags.tolist()
-            plus = state.plus.tolist()
-            minus = state.minus.tolist()
             continue
         ns = nseen_l[si]
         row = seen_l[si]
