@@ -282,6 +282,28 @@ def _collect_colored_jobs(
     full_all = colors.full_colors_all()
     size_all = colors.size_all()
 
+    # ---- vectorized per-unitig gate precomputation -------------------
+    # core coverage: per-color means summed until the first failing
+    # color (src/CCDBG.cpp:2840-2855's early-break) == sum over the
+    # cumulative-AND prefix of uok
+    okpfx = np.cumprod(uok, axis=1).astype(bool)  # [n, C]
+    # left-to-right accumulation (adding exact 0.0 for masked colors)
+    # keeps the float64 sequence identical to the scalar loop
+    core_all = np.zeros(len(umean), dtype=np.float64)
+    for ci in range(C):
+        core_all = core_all + np.where(okpfx[:, ci], umean[:, ci], 0.0)
+    # branch admission (src/CCDBG.cpp:2880-2902), per unitig b:
+    #   every contained color must be coverage-valid, and the color set
+    #   must cover ALL k-mers uniformly: size(b) == count(full) * len
+    n_full = full_all.sum(axis=1)  # [n] j = number of full colors
+    lens_km = np.diff(colors.offsets)
+    branch_ok_all = (~(full_all & ~uok).any(axis=1)) & (
+        size_all == n_full * lens_km
+    )
+    # per-branch per-color coverage contribution when admitted
+    branch_cov_all = np.where(full_all & uok, umean, 0.0)  # [n, C]
+    succ_flat = np.asarray(g._succ)  # [n, 2, 4] packed (idx*2+strand)
+
     for ui in candidates:
         ui = int(ui)
         while not state.is_both_visited(ui):
@@ -297,59 +319,49 @@ def _collect_colored_jobs(
                     break
             else:
                 break
-            u = g.handle(ui, strand)
             is_strict = state.is_strict(ui, strand)
-            # entrance "core" coverage: sum per-color means until the
-            # first failing color; the reference's `flag == false;` is a
-            # no-op comparison so failure never drops the bubble
-            # (src/CCDBG.cpp:2840-2855)
-            core = 0.0
-            for ci in range(C):
-                if uok[ui, ci]:
-                    core += float(umean[ui, ci])
-                else:
-                    break
+            # entrance "core" coverage precomputed vectorized (core_all;
+            # the reference's `flag == false;` is a no-op comparison so
+            # failure never drops the bubble, src/CCDBG.cpp:2840-2855)
+            core = float(core_all[ui])
             if is_strict:
                 # strict registration guarantees every branch has the
                 # exit as its only successor (src/CCDBG.cpp:1497-1520);
                 # guard anyway so a corrupt graph fails soft, not loops
-                succ = u.successors()
-                exit_succ = succ[0].successors() if succ else []
-                if not exit_succ:
+                srow = succ_flat[ui, int(strand)]
+                bpacked = srow[srow >= 0]
+                exit_p = -1
+                if len(bpacked):
+                    b0 = int(bpacked[0])
+                    erow = succ_flat[b0 >> 1, b0 & 1]
+                    ep = erow[erow >= 0]
+                    if len(ep):
+                        exit_p = int(ep[0])
+                if exit_p < 0:
                     state.set_visited(ui, strand)
                     continue
-                exit_h = exit_succ[0]
+                exit_h = g.handle(exit_p >> 1, bool(exit_p & 1))
+                u = g.handle(ui, strand)
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue
-                branches = u.successors()
-                flag = True
-                cov_vec = np.zeros((C, len(branches)), dtype=np.float64)
-                path_color: list[int] = []
-                for path, uu in enumerate(branches):
-                    full = full_all[uu.idx]
-                    j = 0
-                    for ci in range(C):
-                        if full[ci]:
-                            j += 1
-                            if uok[uu.idx, ci]:
-                                cov_vec[ci, path] = umean[uu.idx, ci]
-                            else:
-                                flag = False
-                                break
-                    if not flag:
-                        break
-                    # uniformly-colored requirement (src/CCDBG.cpp:2898-2902)
-                    if size_all[uu.idx] != j * uu.length:
-                        flag = False
-                        break
-                    path_color.append(j)
-                if flag:
-                    # some color must cover >= 2 branches (src/CCDBG.cpp:2906-2924)
+                bidx = bpacked >> 1
+                # branch admission + coverage from the vectorized gates
+                if bool(branch_ok_all[bidx].all()):
+                    cov_vec = branch_cov_all[bidx].T.copy()  # [C, nb]
+                    # some color must cover >= 2 branches
+                    # (src/CCDBG.cpp:2906-2924)
                     flag = bool(((cov_vec != 0.0).sum(axis=1) > 1).any())
+                else:
+                    flag = False
                 if flag:
                     # sortSeq_simple: color count desc, then length desc,
                     # then lexicographic desc (src/CCDBG.cpp:368-472)
+                    branches = [
+                        g.handle(int(p) >> 1, bool(int(p) & 1))
+                        for p in bpacked
+                    ]
+                    path_color = n_full[bidx].tolist()
                     refs = [b.seq for b in branches]
                     order = sorted(
                         range(len(branches)),
@@ -373,6 +385,7 @@ def _collect_colored_jobs(
                         )
                     )
             else:
+                u = g.handle(ui, strand)
                 partner = state.bubble_exit(ui, strand)
                 if partner == NULL:
                     state.set_visited(ui, strand)
