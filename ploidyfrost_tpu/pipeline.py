@@ -63,12 +63,13 @@ def unitig_coverage(db, g):
         missing = decode_kmers([flat[int(np.argmin(hit))]], g.k)[0]
         print(f"CDBG::readCov():{missing} kmer can not found .")
         raise SystemExit(1)
-    counts = counts.astype(np.float64)
     offs = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
-    # segment mean/min via reduceat (ufunc.at is orders slower)
+    # segment mean/min via reduceat (ufunc.at is orders slower); int64
+    # segment sums are exact, so the float64 means match the former
+    # float64 reduceat bit-for-bit without copying the 8B/k-mer array
     mean = np.add.reduceat(counts, offs) / lens
-    mn = np.minimum.reduceat(counts, offs).astype(np.int64)
+    mn = np.minimum.reduceat(counts, offs)
     return mean, mn
 
 
@@ -100,10 +101,9 @@ def window_coverage(db, strings: list[str], lower: int, upper: int):
         missing = decode_kmers([flat[int(np.argmin(hit))]], db.k)[0]
         print(f"CDBG::readCov():{missing} kmer can not found .")
         raise SystemExit(1)
-    counts = counts.astype(np.float64)
     inb = (counts > lower) & (counts < upper)
     starts = offs[:-1]
-    ok = np.minimum.reduceat(inb.astype(np.int8), starts) > 0
+    ok = np.minimum.reduceat(inb.view(np.uint8), starts) > 0
     mean = np.add.reduceat(counts, starts) / lens
     for i, s in enumerate(uniq):
         out[s] = (float(mean[i]), bool(ok[i]))
