@@ -231,6 +231,7 @@ def collect_align_jobs(
         # the walk reads entrance/exit/branch strings of ~every bubble:
         # one vectorized corpus decode beats per-unitig decode calls
         g.seqs.materialize()
+    succ_flat = np.asarray(g._succ)  # [n, 2, 4] packed (idx*2+strand)
     # candidates: any unitig with a set pointer bit (not-visited strand)
     for ui in candidates:
         ui = int(ui)
@@ -247,32 +248,39 @@ def collect_align_jobs(
                     break
             else:
                 break
-            u = g.handle(ui, strand)
             core = float(unitig_cov[ui])
             is_strict = state.is_strict(ui, strand)
             if is_strict:
                 # strict registration guarantees every branch has the
                 # exit as its only successor (src/CDBG.cpp:1019-1041);
-                # guard anyway so a corrupt graph fails soft, not loops
-                succ = u.successors()
-                exit_succ = succ[0].successors() if succ else []
-                if not exit_succ:
+                # guard anyway so a corrupt graph fails soft, not loops.
+                # Packed-successor gathers (no handle objects on the
+                # gate path — measured hot at 1M+ unitigs)
+                srow = succ_flat[ui, int(strand)]
+                bpacked = srow[srow >= 0]
+                exit_p = -1
+                if len(bpacked):
+                    b0 = int(bpacked[0])
+                    erow = succ_flat[b0 >> 1, b0 & 1]
+                    ep = erow[erow >= 0]
+                    if len(ep):
+                        exit_p = int(ep[0])
+                if exit_p < 0:
                     state.set_visited(ui, strand)
                     continue
-                exit_h = exit_succ[0]
+                exit_h = g.handle(exit_p >> 1, bool(exit_p & 1))
+                u = g.handle(ui, strand)
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue
-                branches = u.successors()
-                covs: list[float] = []
-                ok = True
-                for uu in branches:
-                    if lower < int(unitig_min[uu.idx]) < upper:
-                        covs.append(float(unitig_cov[uu.idx]))
-                    else:
-                        ok = False
-                        break
-                if ok:
+                bidx = bpacked >> 1
+                mins = unitig_min[bidx]
+                if bool(((mins > lower) & (mins < upper)).all()):
+                    branches = [
+                        g.handle(int(p) >> 1, bool(int(p) & 1))
+                        for p in bpacked
+                    ]
+                    covs = [float(c) for c in unitig_cov[bidx]]
                     order = _sorted_desc_by_cov_then_seq(
                         covs, [b.seq for b in branches]
                     )
@@ -293,6 +301,7 @@ def collect_align_jobs(
                         )
                     )
             else:
+                u = g.handle(ui, strand)
                 partner = state.bubble_exit(ui, strand)
                 if partner == NULL:
                     # inconsistent state (should not happen): bail out
