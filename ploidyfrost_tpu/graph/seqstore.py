@@ -84,8 +84,15 @@ class SeqStore:
         pos_in = np.arange(off_b[-1], dtype=np.int64) - off_b[seg]
         padded = np.zeros(total_w * 32, dtype=np.uint8)
         padded[off_w[seg] * 32 + pos_in] = np.asarray(codes, dtype=np.uint8)
-        lanes = padded.reshape(total_w, 32).astype(np.uint64) << _SHIFTS
-        words = np.bitwise_or.reduce(lanes, axis=1)
+        # pack 32 LSB-first 2-bit codes per u64 with two uint8-wide
+        # halving passes + a little-endian byte view (base j sits at
+        # bits [2j, 2j+2), so byte b of the word is bases 4b..4b+3 —
+        # exactly the native byte order). ~8x less memory traffic than
+        # the former 32-lane uint64 broadcast+reduce.
+        p = padded.reshape(total_w, 32)
+        s1 = p[:, 0::2] | (p[:, 1::2] << 2)
+        s2 = np.ascontiguousarray(s1[:, 0::2] | (s1[:, 1::2] << 4))
+        words = s2.reshape(-1).view(np.uint64)
         return cls(words, off_w, lengths)
 
     @classmethod
