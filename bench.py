@@ -74,12 +74,20 @@ GENOME_BP = 5_000_000
 HET = 0.01
 DEPTH = 25
 N_RUNS = 3
+COUNT_RUNS = 5  # tunnel-noisy (30% spread at n=3 in r4): more samples
+COLORED_RUNS = 5
 
 
 def _median_spread(vals):
     med = statistics.median(vals)
     spread = (max(vals) - min(vals)) / med if med else 0.0
     return med, round(100.0 * spread, 1)
+
+
+def _runs_field(vals):
+    """Raw per-run values (rounded) so noisy tunnel metrics carry their
+    min/median/max, not just a spread percentage (VERDICT r4 weak #5)."""
+    return [round(v, 1) for v in sorted(vals)]
 
 
 def bench_counting():
@@ -110,7 +118,7 @@ def bench_counting():
 
     run()  # warmup: compile every program shape
     vals = []
-    for _ in range(N_RUNS):
+    for _ in range(COUNT_RUNS):
         t0 = time.perf_counter()
         run()
         vals.append(total / (time.perf_counter() - t0))
@@ -120,8 +128,9 @@ def bench_counting():
         "value": round(v, 1),
         "unit": "kmers/s/chip",
         "vs_baseline": round(v / BASELINE_KMERS_PER_S, 3),
-        "n": N_RUNS,
+        "n": COUNT_RUNS,
         "spread_pct": spread,
+        "runs": _runs_field(vals),
     }
 
 
@@ -257,6 +266,7 @@ def bench_analysis(workdir: str):
             "vs_baseline": round(BASELINE_RUN_WALL_S / wall, 3),
             "n": ANALYSIS_RUNS,
             "spread_pct": wall_spread,
+            "runs": _runs_field(walls),
         },
         {
             "metric": "analysis_throughput",
@@ -265,6 +275,7 @@ def bench_analysis(workdir: str):
             "vs_baseline": round(thr / BASELINE_ANALYSIS_PER_S, 3),
             "n": ANALYSIS_RUNS,
             "spread_pct": thr_spread,
+            "runs": _runs_field(thrs),
         },
     )
 
@@ -341,7 +352,7 @@ def bench_colored(workdir: str):
     os.chdir(workdir)
     vals = []
     try:
-        for it in range(N_RUNS + 1):  # first pass warms the tiers
+        for it in range(COLORED_RUNS + 1):  # first pass warms the tiers
             t0 = time.perf_counter()
             state, bubbles = find_superbubbles_device(g, 8, colors)
             write_superbubble_file(g, bubbles, "bench4mc")
@@ -365,8 +376,9 @@ def bench_colored(workdir: str):
         "value": round(v, 1),
         "unit": "bubbles+sites/s (3 colors)",
         "vs_baseline": round(v / BASELINE_COLORED_PER_S, 3),
-        "n": N_RUNS,
+        "n": COLORED_RUNS,
         "spread_pct": spread,
+        "runs": _runs_field(vals),
     }
 
 
