@@ -391,6 +391,43 @@ def _fast_snp_positions(job: _AlignJob) -> np.ndarray | None:
     return np.flatnonzero(neq)
 
 
+def _fast_snp_positions_batch(jobs) -> list:
+    """_fast_snp_positions for every job in ~5 whole-corpus numpy ops
+    (the per-job version costs 3 small numpy calls x 17k+ jobs).
+    Returns a list aligned with `jobs`: mismatch-position array when
+    the 2-branch equal-length <=2-mismatch fast path applies, else
+    None. Identical decisions to the scalar function."""
+    out: list = [None] * len(jobs)
+    cand = [
+        i
+        for i, j in enumerate(jobs)
+        if len(j.str_vec) == 2 and len(j.str_vec[0]) == len(j.str_vec[1])
+    ]
+    if not cand:
+        return out
+    a_all = np.frombuffer(
+        "".join(jobs[i].str_vec[0] for i in cand).encode(), dtype=np.uint8
+    )
+    b_all = np.frombuffer(
+        "".join(jobs[i].str_vec[1] for i in cand).encode(), dtype=np.uint8
+    )
+    lens = np.array([len(jobs[i].str_vec[0]) for i in cand], dtype=np.int64)
+    offs = np.zeros(len(cand) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    neq = a_all != b_all
+    counts = np.add.reduceat(neq, offs[:-1])
+    counts[lens == 0] = 0  # reduceat quirk on empty segments
+    pos_all = np.flatnonzero(neq)
+    job_of = np.searchsorted(offs, pos_all, side="right") - 1
+    rel = pos_all - offs[job_of]
+    # job_of ascends, so each job's positions are one contiguous slice
+    starts = np.searchsorted(job_of, np.arange(len(cand)))
+    for ci in np.flatnonzero(counts <= 2):
+        ci = int(ci)
+        out[cand[ci]] = rel[starts[ci] : starts[ci] + counts[ci]]
+    return out
+
+
 def _gapless_eligible(str_vec: list[str]) -> bool:
     """True when EVERY branch pair is equal-length with <=2 mismatches —
     each pairwise NW then has the unique gapless-diagonal optimum (the
@@ -508,7 +545,7 @@ def analyze_bubbles(
     fast: list[np.ndarray | None] = [None] * len(jobs)
     gapless = [False] * len(jobs)
     if (match, mismatch, gap) == (2.0, -1.0, -3.0):
-        fast = [_fast_snp_positions(j) for j in jobs]
+        fast = _fast_snp_positions_batch(jobs)
         gapless = [
             fast[i] is None and _gapless_eligible(jobs[i].str_vec)
             for i in range(len(jobs))

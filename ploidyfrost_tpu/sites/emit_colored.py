@@ -473,12 +473,12 @@ def analyze_bubbles_colored(
     # default scoring have a provably unique gapless-diagonal alignment
     # (emit._fast_snp_positions) — the dominant population; they skip
     # the DP + traceback + MSA entirely, as in the uncolored path
-    from .emit import _fast_snp_positions, _gapless_eligible
+    from .emit import _fast_snp_positions_batch, _gapless_eligible
 
     fast: list = [None] * len(jobs)
     gapless = [False] * len(jobs)
     if (match, mismatch, gap) == (2.0, -1.0, -3.0):
-        fast = [_fast_snp_positions(j) for j in jobs]
+        fast = _fast_snp_positions_batch(jobs)
         gapless = [
             fast[i] is None and _gapless_eligible(jobs[i].str_vec)
             for i in range(len(jobs))
