@@ -304,6 +304,55 @@ def _collect_colored_jobs(
     branch_cov_all = np.where(full_all & uok, umean, 0.0)  # [n, C]
     succ_flat = np.asarray(g._succ)  # [n, 2, 4] packed (idx*2+strand)
 
+    # ---- whole-batch strict-pair gates (no per-bubble numpy) ---------
+    # every (ui, strand) with the strict bit gets one row: its branch
+    # slots, exit, admission verdict, per-branch-color coverages and
+    # color counts — all gathered in a handful of array ops, then
+    # converted to python lists so the sequential walk below touches no
+    # numpy at all for gate decisions
+    sp = np.flatnonzero(state.flags & 0x10)  # strict, strand True
+    sm = np.flatnonzero(state.flags & 0x08)  # strict, strand False
+    pair_key = np.concatenate([sp * 2 + 1, sm * 2])
+    Pn = len(pair_key)
+    if Pn:
+        pu = pair_key >> 1
+        ps = pair_key & 1
+        srows = succ_flat[pu, ps]  # [P, 4]
+        valid = srows >= 0
+        bidx = np.where(valid, srows >> 1, 0)
+        adm = np.where(valid, branch_ok_all[bidx], True).all(axis=1) & valid.any(
+            axis=1
+        )
+        cov_p = np.where(
+            valid[:, :, None], branch_cov_all[bidx], 0.0
+        )  # [P, 4, C]
+        # some color must cover >= 2 branches (src/CCDBG.cpp:2906-2924)
+        adm &= ((cov_p != 0.0).sum(axis=1) > 1).any(axis=1)
+        any_b = valid.any(axis=1)
+        rows_i = np.arange(Pn)
+        b0 = srows[rows_i, np.argmax(valid, axis=1)]
+        erow = succ_flat[
+            np.where(any_b, b0 >> 1, 0), np.where(any_b, b0 & 1, 0)
+        ]
+        evalid = erow >= 0
+        e0 = erow[rows_i, np.argmax(evalid, axis=1)]
+        exitp = np.where(any_b & evalid.any(axis=1), e0, -1)
+        nf_p = np.where(valid, n_full[bidx], 0)
+        srows_l = srows.tolist()
+        exitp_l = exitp.tolist()
+        adm_l = adm.tolist()
+        cov_l = cov_p.tolist()
+        nf_l = nf_p.tolist()
+        row_of = np.full(2 * len(g), -1, dtype=np.int64)
+        row_of[pair_key] = rows_i
+        row_of_l = row_of.tolist()
+    else:
+        row_of_l = [-1] * (2 * len(g))
+    seqs = g.seqs
+    ids_l = g.ids.tolist()
+    core_l = core_all.tolist()
+    from ..graph.cdbg import revcomp as _rc
+
     for ui in candidates:
         ui = int(ui)
         while not state.is_both_visited(ui):
@@ -323,63 +372,53 @@ def _collect_colored_jobs(
             # entrance "core" coverage precomputed vectorized (core_all;
             # the reference's `flag == false;` is a no-op comparison so
             # failure never drops the bubble, src/CCDBG.cpp:2840-2855)
-            core = float(core_all[ui])
+            core = core_l[ui]
             if is_strict:
                 # strict registration guarantees every branch has the
                 # exit as its only successor (src/CCDBG.cpp:1497-1520);
-                # guard anyway so a corrupt graph fails soft, not loops
-                srow = succ_flat[ui, int(strand)]
-                bpacked = srow[srow >= 0]
-                exit_p = -1
-                if len(bpacked):
-                    b0 = int(bpacked[0])
-                    erow = succ_flat[b0 >> 1, b0 & 1]
-                    ep = erow[erow >= 0]
-                    if len(ep):
-                        exit_p = int(ep[0])
+                # the whole-batch gate rows carry branches/exit/verdict
+                r = row_of_l[ui * 2 + (1 if strand else 0)]
+                exit_p = exitp_l[r] if r >= 0 else -1
                 if exit_p < 0:
                     state.set_visited(ui, strand)
                     continue
-                exit_h = g.handle(exit_p >> 1, bool(exit_p & 1))
-                u = g.handle(ui, strand)
-                if u.seq < exit_h.seq:
+                exit_idx = exit_p >> 1
+                exit_strand = bool(exit_p & 1)
+                useq = seqs[ui]
+                eseq = seqs[exit_idx]
+                if useq < eseq:
                     state.set_visited(ui, strand)
                     continue
-                bidx = bpacked >> 1
-                # branch admission + coverage from the vectorized gates
-                if bool(branch_ok_all[bidx].all()):
-                    cov_vec = branch_cov_all[bidx].T.copy()  # [C, nb]
-                    # some color must cover >= 2 branches
-                    # (src/CCDBG.cpp:2906-2924)
-                    flag = bool(((cov_vec != 0.0).sum(axis=1) > 1).any())
-                else:
-                    flag = False
-                if flag:
+                if adm_l[r]:
                     # sortSeq_simple: color count desc, then length desc,
                     # then lexicographic desc (src/CCDBG.cpp:368-472)
-                    branches = [
-                        g.handle(int(p) >> 1, bool(int(p) & 1))
-                        for p in bpacked
-                    ]
-                    path_color = n_full[bidx].tolist()
-                    refs = [b.seq for b in branches]
+                    row = srows_l[r]
+                    slots = [s for s in range(4) if row[s] >= 0]
+                    nf_r = nf_l[r]
+                    path_color = [nf_r[s] for s in slots]
+                    refs = [seqs[row[s] >> 1] for s in slots]
                     order = sorted(
-                        range(len(branches)),
+                        range(len(slots)),
                         key=lambda i: (path_color[i], len(refs[i]), refs[i]),
                         reverse=True,
                     )
-                    branches = [branches[i] for i in order]
-                    cov_vec = cov_vec[:, order]
-                    str_vec = [b.mapped_seq for b in branches]
+                    covr = cov_l[r]
+                    cov_vec = np.array(
+                        [covr[slots[i]] for i in order], dtype=np.float64
+                    ).T  # [C, nb]
+                    str_vec = [
+                        refs[i] if (row[slots[i]] & 1) else _rc(refs[i])
+                        for i in order
+                    ]
                     jobs.append(
                         _ColoredAlignJob(
                             str_vec,
                             0,  # VarId assigned post-alignment
                             True,
-                            int(g.ids[ui]),
-                            int(g.ids[exit_h.idx]),
-                            u.size,
-                            exit_h.size,
+                            ids_l[ui],
+                            ids_l[exit_idx],
+                            len(useq),
+                            len(eseq),
                             core,
                             cov_vec,
                         )
@@ -402,6 +441,8 @@ def _collect_colored_jobs(
                 if exit_h is None:
                     state.set_visited(ui, strand)
                     continue
+                exit_idx = exit_h.idx
+                exit_strand = exit_h.strand
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue
@@ -411,18 +452,15 @@ def _collect_colored_jobs(
                     # a VarId is consumed only for non-empty enumerations
                     # (src/CCDBG.cpp:1002-1007 `if (str_vec.size() != 0)`)
                     state.set_visited(ui, strand)
-                    if exit_h.strand:
-                        state.set_visited(exit_h.idx, False)
-                    else:
-                        state.set_visited(exit_h.idx, True)
+                    state.set_visited(exit_idx, not exit_strand)
                     continue
                 jobs.append(
                     _ColoredAlignJob(
                         str_vec,
                         0,  # VarId assigned post-alignment
                         False,
-                        int(g.ids[ui]),
-                        int(g.ids[exit_h.idx]),
+                        ids_l[ui],
+                        ids_l[exit_idx],
                         u.size,
                         exit_h.size,
                         core,
@@ -430,10 +468,7 @@ def _collect_colored_jobs(
                     )
                 )
             state.set_visited(ui, strand)
-            if exit_h.strand:
-                state.set_visited(exit_h.idx, False)
-            else:
-                state.set_visited(exit_h.idx, True)
+            state.set_visited(exit_idx, not exit_strand)
     return jobs
 
 
