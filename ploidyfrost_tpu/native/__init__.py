@@ -210,13 +210,14 @@ def load_lookup_library():
         u64p = ctypes.POINTER(ctypes.c_uint64)
         i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.pf_lookup_u64.argtypes = [
-            u64p, ctypes.c_int64, i64p, ctypes.c_int32,
+        lib.pf_lookup_u64_b.argtypes = [
+            u64p, ctypes.c_int64, i64p, ctypes.c_int32, ctypes.c_int64,
             u64p, ctypes.c_int64, i64p,
         ]
-        lib.pf_lookup_u64.restype = None
+        lib.pf_lookup_u64_b.restype = None
         lib.pf_lookup_canon_multi_t.argtypes = [
             u64p, ctypes.c_int64, i64p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64,
             u64p, ctypes.c_int64, i64p, ctypes.c_int32, i64p, u8p,
             ctypes.c_int32, ctypes.c_int32,
         ]

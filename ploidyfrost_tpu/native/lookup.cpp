@@ -37,19 +37,29 @@ inline uint64_t revcomp64(uint64_t x, int32_t k) {
 
 extern "C" {
 
-// lut: 2^16+1 bucket start offsets (lut[b] = first index with
+// lut: bmax+2 bucket start offsets (lut[b] = first index with
 // key >> shift >= b); out[i] = lower_bound(table, q[i]) as an index.
-void pf_lookup_u64(const uint64_t* table, int64_t n, const int64_t* lut,
-                   int32_t shift, const uint64_t* q, int64_t nq,
-                   int64_t* out) {
+// The LUT size adapts to the table (kmer/countdb._make_lut): bigger
+// tables get up to 2^22 buckets, which nearly halves the probe cost
+// by shrinking the per-bucket binary search (measured 349 -> 197
+// ns/query at 6M keys).
+void pf_lookup_u64_b(const uint64_t* table, int64_t n, const int64_t* lut,
+                     int32_t shift, int64_t bmax, const uint64_t* q,
+                     int64_t nq, int64_t* out) {
   for (int64_t i = 0; i < nq; ++i) {
     const uint64_t key = q[i];
     uint64_t b = key >> shift;
-    if (b > 65535) b = 65535;
+    if ((int64_t)b > bmax) b = bmax;
     const uint64_t* lo = table + lut[b];
     const uint64_t* hi = table + lut[b + 1];
     out[i] = std::lower_bound(lo, hi, key) - table;
   }
+}
+
+void pf_lookup_u64(const uint64_t* table, int64_t n, const int64_t* lut,
+                   int32_t shift, const uint64_t* q, int64_t nq,
+                   int64_t* out) {
+  pf_lookup_u64_b(table, n, lut, shift, 65535, q, nq, out);
 }
 
 // Fused canonicalize + bucketed probe + per-color count gather,
@@ -68,6 +78,7 @@ void pf_lookup_u64(const uint64_t* table, int64_t n, const int64_t* lut,
 //   n_threads       : worker count (<=0 -> hardware_concurrency)
 void pf_lookup_canon_multi_t(const uint64_t* table, int64_t n,
                              const int64_t* lut, int32_t shift, int32_t k,
+                             int64_t bmax,
                              const uint64_t* q, int64_t nq,
                              const int64_t* counts, int32_t C,
                              int64_t* counts_out, uint8_t* hit_out,
@@ -83,7 +94,7 @@ void pf_lookup_canon_multi_t(const uint64_t* table, int64_t n,
       const uint64_t r = revcomp64(v, k);
       if (r < v) v = r;
       uint64_t b = v >> shift;
-      if (b > 65535) b = 65535;
+      if ((int64_t)b > bmax) b = bmax;
       const uint64_t* lo = table + lut[b];
       const uint64_t* hi = table + lut[b + 1];
       const int64_t idx = std::lower_bound(lo, hi, v) - table;
@@ -122,7 +133,7 @@ void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
                            const int64_t* counts, int32_t C,
                            int64_t* counts_out, uint8_t* hit_out,
                            int32_t n_threads) {
-  pf_lookup_canon_multi_t(table, n, lut, shift, k, q, nq, counts, C,
+  pf_lookup_canon_multi_t(table, n, lut, shift, k, 65535, q, nq, counts, C,
                           counts_out, hit_out, n_threads, 0);
 }
 }
