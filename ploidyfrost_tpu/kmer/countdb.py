@@ -173,10 +173,11 @@ class KmerCountDB:
 
     def _search(self, canon: np.ndarray) -> np.ndarray:
         """lower_bound indexes of `canon` in the table: the native
-        bucketed binary search (native/lookup.cpp, a 2^16 prefix LUT +
-        per-bucket lower_bound — the same two-level structure as KMC's
-        .kmc_pre prefix table, KMC/kmc_api/kmc_file.cpp:136-230), with
-        np.searchsorted as the portable fallback."""
+        bucketed binary search (native/lookup.cpp, an adaptive 2^16..22
+        prefix LUT + per-bucket lower_bound — the same two-level
+        structure as KMC's .kmc_pre prefix table,
+        KMC/kmc_api/kmc_file.cpp:136-230), with np.searchsorted as the
+        portable fallback."""
         from ..native import load_lookup_library
 
         lib = load_lookup_library()
