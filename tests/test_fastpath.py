@@ -224,3 +224,48 @@ def test_gapless_msa_matches_generic():
         assert a[0] == b[0], (strs, a[0], b[0])
         assert a[1] == b[1] and a[2] == b[2] and a[4] == b[4]
         assert a[3] == b[3]
+
+
+def test_batch_fast_check_matches_scalar():
+    """_fast_snp_positions_batch must make the identical decision and
+    positions as the scalar check on a mixed random population."""
+    import numpy as np
+
+    from ploidyfrost_tpu.sites.emit import (
+        _AlignJob,
+        _fast_snp_positions,
+        _fast_snp_positions_batch,
+    )
+
+    rng = np.random.default_rng(4)
+    bases = "ACGT"
+
+    def mk(sv):
+        return _AlignJob(sv, 0, True, 1, 2, 10, 10, 1.0, None)
+
+    jobs = []
+    for _ in range(300):
+        L = int(rng.integers(25, 120))
+        a = "".join(rng.choice(list(bases), L))
+        kind = rng.integers(0, 5)
+        if kind == 0:  # identical
+            jobs.append(mk([a, a]))
+        elif kind == 1:  # 1-2 mismatches
+            b = list(a)
+            for p in rng.integers(0, L, int(rng.integers(1, 3))):
+                b[p] = bases[(bases.index(b[p]) + 1) % 4]
+            jobs.append(mk([a, "".join(b)]))
+        elif kind == 2:  # many mismatches
+            jobs.append(mk([a, "".join(rng.choice(list(bases), L))]))
+        elif kind == 3:  # unequal length
+            jobs.append(mk([a, a[:-1]]))
+        else:  # 3 branches
+            jobs.append(mk([a, a, a]))
+    batch = _fast_snp_positions_batch(jobs)
+    for j, got in zip(jobs, batch):
+        exp = _fast_snp_positions(j)
+        if exp is None:
+            assert got is None
+        else:
+            assert got is not None
+            np.testing.assert_array_equal(np.asarray(got), exp)
