@@ -332,11 +332,23 @@ def extract_superbubble(
     state_map: dict[int, int] = {}
     strand_map: dict[int, bool] = {}
     cycle_set: set[UnitigHandle] = set()
+    # O(1) replacement for the reference's O(|seen|) "anything still
+    # seen?" scan at every stack-size-1 event (src/CDBG.cpp:2744-2778
+    # — quadratic in the DFS size, which is why the reference binary
+    # wedges for the better part of an hour on flooding searches at the
+    # 50 Mbp scale point): count2 tracks #{idx: state == 0x02}, and
+    # vec_strand records each vec entry's ORIGINAL strand so the
+    # handle-inequality `cucm != top` (strand included) stays exact.
+    count2 = 0
+    vec_strand: dict[int, bool] = {}
     v = s
     vertices_visit.append(v)
     vec_km_seen.append(v)
+    vec_strand[s.idx] = s.strand
     while vertices_visit:
         v = vertices_visit.pop()
+        if state_map.get(v.idx) == 0x02:
+            count2 -= 1
         state_map[v.idx] = 0x01
         strand_map[v.idx] = v.strand
         succs = v.successors()
@@ -353,6 +365,8 @@ def extract_superbubble(
                     if u.idx not in state_map:
                         vec_km_seen.append(u)
                         strand_map[u.idx] = u.strand
+                        vec_strand[u.idx] = u.strand
+                        count2 += 1
                     else:
                         if strand_map[u.idx] != u.strand:
                             flag_cycle = True
@@ -377,12 +391,18 @@ def extract_superbubble(
                     cycle_set.add(v)
                     cycle_set.add(u)
         if len(vertices_visit) == 1:
-            not_seen = True
-            for cucm in vec_km_seen:
-                if cucm != vertices_visit[0]:
-                    if state_map[cucm.idx] == 0x02:
-                        not_seen = False
-                        break
+            top = vertices_visit[0]
+            top2 = (
+                1
+                if (
+                    state_map.get(top.idx) == 0x02
+                    and vec_strand.get(top.idx) == top.strand
+                )
+                else 0
+            )
+            # == the reference scan: exists cucm in vec_km_seen with
+            # cucm != top (handle inequality) and state == 0x02
+            not_seen = count2 == top2
             if not_seen:
                 p_first = s
                 p_second = vertices_visit[0]
