@@ -192,8 +192,31 @@ class SeqStore:
         """MSB-first packed k-mer starting at each absolute padded base
         position (k <= 31; the window must lie inside one unitig). Reads
         at most two words per query — O(q * k) instead of the corpus
-        scan of _kmer_acc."""
+        scan of _kmer_acc. Large batches go through the threaded native
+        kernel (native/lookup.cpp pf_extract_kmers, one scalar pass per
+        query vs ~14 whole-array numpy passes)."""
         upos = np.asarray(upos, dtype=np.int64)
+        if len(upos) >= (1 << 14):
+            from ..native import load_lookup_library
+
+            lib = load_lookup_library()
+            if lib is not None and hasattr(lib, "pf_extract_kmers"):
+                import ctypes
+
+                upos_c = np.ascontiguousarray(upos)
+                out = np.empty(len(upos), dtype=np.uint64)
+                lib.pf_extract_kmers(
+                    self.words.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint64)
+                    ),
+                    ctypes.c_int64(len(self.words)),
+                    upos_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    ctypes.c_int64(len(upos_c)),
+                    ctypes.c_int32(k),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                    ctypes.c_int32(0),
+                )
+                return out
         w0 = upos >> 5
         b = ((upos & 31).astype(np.uint64)) * np.uint64(2)
         lo = self.words[w0] >> b

@@ -110,12 +110,19 @@ class KmerCountDB:
             bits = min(bits, 2 * self.k)
             shift = 2 * self.k - bits
             nb = 1 << bits
-            bounds = (np.arange(nb, dtype=np.uint64) + 1) << np.uint64(
-                shift
+            # O(n) construction: bucket counts + cumsum (the former
+            # per-bound searchsorted cost ~2 s per fresh DB at 6M keys
+            # and ran once per bench rep). Real keys only — the pad
+            # sentinels stay outside every bucket, which is fine: no
+            # canonical query (< 2^2k) ever probes past lut[nb] = n.
+            cnt = np.bincount(
+                (self._km_np[: self._n] >> np.uint64(shift)).astype(
+                    np.int64
+                ),
+                minlength=nb,
             )
-            lut = np.empty(nb + 1, dtype=np.int64)
-            lut[0] = 0
-            lut[1:] = np.searchsorted(self._km_np, bounds)
+            lut = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(cnt, out=lut[1:])
             self._lut = (lut, shift, nb - 1)
         return self._lut
 

@@ -222,5 +222,10 @@ def load_lookup_library():
             ctypes.c_int32, ctypes.c_int32,
         ]
         lib.pf_lookup_canon_multi_t.restype = None
+        lib.pf_extract_kmers.argtypes = [
+            u64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32,
+            u64p, ctypes.c_int32,
+        ]
+        lib.pf_extract_kmers.restype = None
 
     return _load_simple("lookup.cpp", "libpflookup.so", _lookup_state, sig)

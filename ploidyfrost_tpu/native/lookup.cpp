@@ -126,6 +126,51 @@ void pf_lookup_canon_multi_t(const uint64_t* table, int64_t n,
   for (auto& th : threads) th.join();
 }
 
+// Packed k-mer extraction at arbitrary padded base positions: the
+// native counterpart of SeqStore.kmers_at (graph/seqstore.py) — read
+// up to two words, reverse the 2-bit groups (LSB-first storage ->
+// MSB-first k-mer packing), shift down. One scalar pass per query vs
+// ~14 whole-array numpy passes; threaded.
+void pf_extract_kmers(const uint64_t* words, int64_t nwords,
+                      const int64_t* upos, int64_t nq, int32_t k,
+                      uint64_t* out, int32_t n_threads) {
+  if (nq == 0) return;
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nq < (1 << 15)) nt = 1;
+  const uint32_t drop = 2 * (32 - k);
+  auto work = [&](int64_t lo_i, int64_t hi_i) {
+    for (int64_t i = lo_i; i < hi_i; ++i) {
+      const int64_t p = upos[i];
+      const int64_t w0 = p >> 5;
+      const uint32_t b = 2 * (uint32_t)(p & 31);
+      uint64_t v = words[w0] >> b;
+      if (b) {
+        const int64_t w1 = w0 + 1 < nwords ? w0 + 1 : nwords - 1;
+        v |= words[w1] << (64 - b);
+      }
+      // reverse the 32 2-bit groups: byteswap + in-byte group swap
+      v = __builtin_bswap64(v);
+      v = ((v & 0x0303030303030303ULL) << 6) |
+          ((v & 0x0C0C0C0C0C0C0C0CULL) << 2) |
+          ((v & 0x3030303030303030ULL) >> 2) |
+          ((v & 0xC0C0C0C0C0C0C0C0ULL) >> 6);
+      out[i] = v >> drop;
+    }
+  };
+  if (nt == 1) {
+    work(0, nq);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back(work, nq * t / nt, nq * (t + 1) / nt);
+  }
+  for (auto& th : threads) th.join();
+}
+
 // Backwards-compatible row-major entry point.
 void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
                            const int64_t* lut, int32_t shift, int32_t k,

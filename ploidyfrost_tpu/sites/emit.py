@@ -232,6 +232,48 @@ def collect_align_jobs(
         # one vectorized corpus decode beats per-unitig decode calls
         g.seqs.materialize()
     succ_flat = np.asarray(g._succ)  # [n, 2, 4] packed (idx*2+strand)
+
+    # ---- whole-batch strict-pair gates (mirrors emit_colored) --------
+    # one gather pass computes branches / exit / coverage-gate verdict /
+    # branch covs for EVERY strict (unitig, strand) pair; the walk then
+    # reads python lists only
+    sp = np.flatnonzero(state.flags & 0x10)  # strict, strand True
+    sm = np.flatnonzero(state.flags & 0x08)  # strict, strand False
+    pair_key = np.concatenate([sp * 2 + 1, sm * 2])
+    Pn = len(pair_key)
+    if Pn:
+        srows = succ_flat[pair_key >> 1, pair_key & 1]  # [P, 4]
+        valid = srows >= 0
+        bidx = np.where(valid, srows >> 1, 0)
+        mins = unitig_min[bidx]
+        adm = (
+            np.where(valid, (mins > lower) & (mins < upper), True).all(axis=1)
+            & valid.any(axis=1)
+        )
+        covs_p = np.where(valid, unitig_cov[bidx], 0.0)  # [P, 4]
+        any_b = valid.any(axis=1)
+        rows_i = np.arange(Pn)
+        b0 = srows[rows_i, np.argmax(valid, axis=1)]
+        erow = succ_flat[
+            np.where(any_b, b0 >> 1, 0), np.where(any_b, b0 & 1, 0)
+        ]
+        evalid = erow >= 0
+        e0 = erow[rows_i, np.argmax(evalid, axis=1)]
+        exitp = np.where(any_b & evalid.any(axis=1), e0, -1)
+        srows_l = srows.tolist()
+        exitp_l = exitp.tolist()
+        adm_l = adm.tolist()
+        covs_l = covs_p.tolist()
+        row_of = np.full(2 * len(g), -1, dtype=np.int64)
+        row_of[pair_key] = rows_i
+        row_of_l = row_of.tolist()
+    else:
+        row_of_l = [-1] * (2 * len(g))
+    seqs = g.seqs
+    ids_l = g.ids.tolist()
+    cov_l = [float(c) for c in unitig_cov]
+    from ..graph.cdbg import revcomp as _rc
+
     # candidates: any unitig with a set pointer bit (not-visited strand)
     for ui in candidates:
         ui = int(ui)
@@ -248,54 +290,45 @@ def collect_align_jobs(
                     break
             else:
                 break
-            core = float(unitig_cov[ui])
+            core = cov_l[ui]
             is_strict = state.is_strict(ui, strand)
             if is_strict:
                 # strict registration guarantees every branch has the
                 # exit as its only successor (src/CDBG.cpp:1019-1041);
-                # guard anyway so a corrupt graph fails soft, not loops.
-                # Packed-successor gathers (no handle objects on the
-                # gate path — measured hot at 1M+ unitigs)
-                srow = succ_flat[ui, int(strand)]
-                bpacked = srow[srow >= 0]
-                exit_p = -1
-                if len(bpacked):
-                    b0 = int(bpacked[0])
-                    erow = succ_flat[b0 >> 1, b0 & 1]
-                    ep = erow[erow >= 0]
-                    if len(ep):
-                        exit_p = int(ep[0])
+                # the whole-batch gate rows carry branches/exit/verdict
+                r = row_of_l[ui * 2 + (1 if strand else 0)]
+                exit_p = exitp_l[r] if r >= 0 else -1
                 if exit_p < 0:
                     state.set_visited(ui, strand)
                     continue
-                exit_h = g.handle(exit_p >> 1, bool(exit_p & 1))
-                u = g.handle(ui, strand)
-                if u.seq < exit_h.seq:
+                exit_idx = exit_p >> 1
+                exit_strand = bool(exit_p & 1)
+                useq = seqs[ui]
+                eseq = seqs[exit_idx]
+                if useq < eseq:
                     state.set_visited(ui, strand)
                     continue
-                bidx = bpacked >> 1
-                mins = unitig_min[bidx]
-                if bool(((mins > lower) & (mins < upper)).all()):
-                    branches = [
-                        g.handle(int(p) >> 1, bool(int(p) & 1))
-                        for p in bpacked
-                    ]
-                    covs = [float(c) for c in unitig_cov[bidx]]
-                    order = _sorted_desc_by_cov_then_seq(
-                        covs, [b.seq for b in branches]
-                    )
+                if adm_l[r]:
+                    row = srows_l[r]
+                    slots = [s for s in range(4) if row[s] >= 0]
+                    covr = covs_l[r]
+                    covs = [covr[s] for s in slots]
+                    refs = [seqs[row[s] >> 1] for s in slots]
+                    order = _sorted_desc_by_cov_then_seq(covs, refs)
                     covs = [covs[i] for i in order]
-                    branches = [branches[i] for i in order]
-                    str_vec = [b.mapped_seq for b in branches]
+                    str_vec = [
+                        refs[i] if (row[slots[i]] & 1) else _rc(refs[i])
+                        for i in order
+                    ]
                     jobs.append(
                         _AlignJob(
                             str_vec,
                             0,  # VarId assigned post-alignment
                             True,
-                            int(g.ids[ui]),
-                            int(g.ids[exit_h.idx]),
-                            u.size,
-                            exit_h.size,
+                            ids_l[ui],
+                            ids_l[exit_idx],
+                            len(useq),
+                            len(eseq),
                             core,
                             covs,
                         )
@@ -320,6 +353,8 @@ def collect_align_jobs(
                 if exit_h is None:
                     state.set_visited(ui, strand)
                     continue
+                exit_idx = exit_h.idx
+                exit_strand = exit_h.strand
                 if u.seq < exit_h.seq:
                     state.set_visited(ui, strand)
                     continue
@@ -330,18 +365,15 @@ def collect_align_jobs(
                     # slot) only for non-empty enumerations
                     # (src/CDBG.cpp:1424-1431 `if (str_vec.size() != 0)`)
                     state.set_visited(ui, strand)
-                    if exit_h.strand:
-                        state.set_visited(exit_h.idx, False)
-                    else:
-                        state.set_visited(exit_h.idx, True)
+                    state.set_visited(exit_idx, not exit_strand)
                     continue
                 jobs.append(
                     _AlignJob(
                         str_vec,
                         0,  # VarId assigned post-alignment
                         False,
-                        int(g.ids[ui]),
-                        int(g.ids[exit_h.idx]),
+                        ids_l[ui],
+                        ids_l[exit_idx],
                         u.size,
                         exit_h.size,
                         core,
@@ -350,10 +382,7 @@ def collect_align_jobs(
                 )
             # mark entrance + exit strands visited (src/CDBG.cpp:1656-1679)
             state.set_visited(ui, strand)
-            if exit_h.strand:
-                state.set_visited(exit_h.idx, False)
-            else:
-                state.set_visited(exit_h.idx, True)
+            state.set_visited(exit_idx, not exit_strand)
     return jobs
 
 

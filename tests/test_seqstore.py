@@ -91,3 +91,34 @@ def test_adjacency_matches_dict_build():
                     j, stx = hit
                     succ[i, int(strand), bi] = j * 2 + int(stx)
     np.testing.assert_array_equal(g._succ, succ)
+
+
+def test_native_kmers_at_matches_numpy(monkeypatch):
+    """The threaded native extraction (pf_extract_kmers) must equal the
+    numpy word-gather path above the batch threshold."""
+    import numpy as np
+
+    from ploidyfrost_tpu.graph.seqstore import SeqStore
+
+    rng = np.random.default_rng(12)
+    seqs = [
+        "".join(rng.choice(list("ACGT"), int(rng.integers(25, 300))))
+        for _ in range(400)
+    ]
+    st = SeqStore.from_strings(seqs)
+    for k in (25, 31):
+        pos = np.flatnonzero(st.kmer_start_mask(k))
+        big = np.tile(pos, max(1, (1 << 15) // max(len(pos), 1) + 1))
+        native = st.kmers_at(big, k)
+        monkeypatch.setenv("PLOIDYFROST_NO_NATIVE", "1")
+        import ploidyfrost_tpu.native as N
+
+        saved = dict(N._lookup_state)
+        N._lookup_state.clear()
+        try:
+            ref = st.kmers_at(big, k)
+        finally:
+            N._lookup_state.clear()
+            N._lookup_state.update(saved)
+            monkeypatch.delenv("PLOIDYFROST_NO_NATIVE")
+        np.testing.assert_array_equal(native, ref)
