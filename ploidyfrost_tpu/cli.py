@@ -14,6 +14,13 @@ delegates to KMC / Bifrost (script/pipeline/2.kmc_db, 4.bifrost):
     ploidyfrost-tpu build   -k 25 -o graph reads.fq ... [-c min_count]
     ploidyfrost-tpu pipeline -o pre reads.fq ...        # end-to-end
 
+and the R post-processing layer (script/Filter.R, Filter-multi.R,
+Drawfreq.R, paper_figures.R) as native subcommands:
+
+    ploidyfrost-tpu filter / filter-multi / drawfreq ...
+    ploidyfrost-tpu figures -i pre -o out -c cov[,..] -p ploidy
+                    [--multi] [--cramer T]   # paper_figures.R workflow
+
 Long flags (any subcommand):
 
     --devices[=N]   device mesh for counting / superbubble search /
@@ -494,6 +501,10 @@ def _dispatch(argv) -> int:
         from .filter import cmd_drawfreq
 
         return cmd_drawfreq(argv[1:])
+    if cmd == "figures":
+        from .figures import cmd_figures
+
+        return cmd_figures(argv[1:])
     return cmd_run(argv)
 
 
