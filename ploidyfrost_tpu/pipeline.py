@@ -204,6 +204,20 @@ def run_colored_analysis(opt) -> int:
 
     from .parallel.mesh import resolve_mesh
 
+    # overlap host coverage probes + corpus decode with the device
+    # search (same latency-hiding as run_analysis; the reference
+    # interleaves readCovUni with the walk across pthreads,
+    # src/CCDBG.cpp:583-1449)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cov_and_decode():
+        out = unitig_coverage_colored(dbs, g, cutoffs)
+        g.seqs.materialize()
+        return out
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    cov_future = pool.submit(_cov_and_decode)
+
     _log("CCDBG::findSuperBubble(): Finding superbubbles")
     t0 = time.time()
     state, bubbles = find_superbubbles(
@@ -221,7 +235,8 @@ def run_colored_analysis(opt) -> int:
         "CCDBG::PloidyEstimation():  Analyzing superbubbles to generate sites' information"
     )
     t0 = time.time()
-    umean, uok = unitig_coverage_colored(dbs, g, cutoffs)
+    umean, uok = cov_future.result()
+    pool.shutdown()
     emissions, window_strings, window_colors = analyze_bubbles_colored(
         g, colors, state, umean, uok, opt.match, opt.mismatch, opt.gap,
         mesh=resolve_mesh(),
@@ -283,6 +298,24 @@ def run_analysis(opt) -> int:
 
     from .parallel.mesh import resolve_mesh
 
+    # overlap the host-side coverage probes (unitig_coverage: native
+    # threaded table scans that release the GIL) with the device
+    # superbubble search, whose wall time is dominated by waiting on
+    # dispatch + transfers. The reference interleaves readCov with its
+    # bubble walk across pthreads (src/CDBG.cpp:1917-2642); this is the
+    # same latency-hiding, expressed as one background host task under
+    # the device phase. The unitig-string decode the analysis walk needs
+    # (SeqStore.materialize) rides the same task.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cov_and_decode():
+        out = unitig_coverage(db, g)
+        g.seqs.materialize()  # pre-decode for the analysis walk
+        return out
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    cov_future = pool.submit(_cov_and_decode)
+
     _log("findSuperBubble(): Finding superbubbles")
     t0 = time.time()
     with maybe_trace("findSuperBubble"):
@@ -297,7 +330,8 @@ def run_analysis(opt) -> int:
     _log("PloidyEstimation(): Analyzing superbubbles to generate sites' information")
     t0 = time.time()
     with maybe_trace("ploidyEstimation"):
-        ucov, umin = unitig_coverage(db, g)
+        ucov, umin = cov_future.result()
+        pool.shutdown()
         emissions, window_strings = analyze_bubbles(
             g,
             state,
