@@ -46,13 +46,28 @@ extern "C" {
 void pf_lookup_u64_b(const uint64_t* table, int64_t n, const int64_t* lut,
                      int32_t shift, int64_t bmax, const uint64_t* q,
                      int64_t nq, int64_t* out) {
-  for (int64_t i = 0; i < nq; ++i) {
-    const uint64_t key = q[i];
-    uint64_t b = key >> shift;
-    if ((int64_t)b > bmax) b = bmax;
-    const uint64_t* lo = table + lut[b];
-    const uint64_t* hi = table + lut[b + 1];
-    out[i] = std::lower_bound(lo, hi, key) - table;
+  // block-pipelined: each pass issues a burst of independent
+  // prefetches so the LUT->bucket dependent loads overlap across
+  // queries instead of serializing at DRAM latency (the probe is
+  // memory-latency-bound: the adaptive LUT keeps buckets to ~1-4
+  // entries, so nearly all time is the two pointer chases)
+  constexpr int64_t BL = 128;
+  uint64_t bb[BL];
+  for (int64_t base = 0; base < nq; base += BL) {
+    const int64_t cnt = nq - base < BL ? nq - base : BL;
+    for (int64_t j = 0; j < cnt; ++j) {
+      uint64_t b = q[base + j] >> shift;
+      if ((int64_t)b > bmax) b = bmax;
+      bb[j] = b;
+      __builtin_prefetch(&lut[b], 0, 1);
+    }
+    for (int64_t j = 0; j < cnt; ++j)
+      __builtin_prefetch(&table[lut[bb[j]]], 0, 1);
+    for (int64_t j = 0; j < cnt; ++j) {
+      const uint64_t* lo = table + lut[bb[j]];
+      const uint64_t* hi = table + lut[bb[j] + 1];
+      out[base + j] = std::lower_bound(lo, hi, q[base + j]) - table;
+    }
   }
 }
 
@@ -88,27 +103,51 @@ void pf_lookup_canon_multi_t(const uint64_t* table, int64_t n,
                          : (int)std::thread::hardware_concurrency();
   if (nt < 1) nt = 1;
   if (nq < (1 << 15)) nt = 1;  // thread spawn not worth it below ~32k
+  // block-pipelined like pf_lookup_u64_b: bursts of independent
+  // prefetches overlap the LUT -> bucket -> count-row pointer chases
+  // across queries (measured ~2x at 6M keys on this 2-vCPU host)
   auto work = [&](int64_t lo_i, int64_t hi_i) {
-    for (int64_t i = lo_i; i < hi_i; ++i) {
-      uint64_t v = q[i];
-      const uint64_t r = revcomp64(v, k);
-      if (r < v) v = r;
-      uint64_t b = v >> shift;
-      if ((int64_t)b > bmax) b = bmax;
-      const uint64_t* lo = table + lut[b];
-      const uint64_t* hi = table + lut[b + 1];
-      const int64_t idx = std::lower_bound(lo, hi, v) - table;
-      const bool hit = idx < n && table[idx] == v;
-      hit_out[i] = hit ? 1 : 0;
+    constexpr int64_t BL = 128;
+    uint64_t vv[BL];
+    uint64_t bb[BL];
+    int64_t ix[BL];
+    for (int64_t base = lo_i; base < hi_i; base += BL) {
+      const int64_t cnt = hi_i - base < BL ? hi_i - base : BL;
+      for (int64_t j = 0; j < cnt; ++j) {
+        uint64_t v = q[base + j];
+        const uint64_t r = revcomp64(v, k);
+        if (r < v) v = r;
+        vv[j] = v;
+        uint64_t b = v >> shift;
+        if ((int64_t)b > bmax) b = bmax;
+        bb[j] = b;
+        __builtin_prefetch(&lut[b], 0, 1);
+      }
+      for (int64_t j = 0; j < cnt; ++j)
+        __builtin_prefetch(&table[lut[bb[j]]], 0, 1);
+      for (int64_t j = 0; j < cnt; ++j) {
+        const uint64_t* lo = table + lut[bb[j]];
+        const uint64_t* hi = table + lut[bb[j] + 1];
+        const int64_t idx = std::lower_bound(lo, hi, vv[j]) - table;
+        ix[j] = idx;
+        const bool hit = idx < n && table[idx] == vv[j];
+        hit_out[base + j] = hit ? 1 : 0;
+        if (counts != nullptr && hit)
+          __builtin_prefetch(&counts[idx * C], 0, 1);
+      }
       if (counts_out != nullptr) {
-        const int64_t* src =
-            (hit && counts != nullptr) ? counts + idx * C : nullptr;
-        if (transpose_out) {
-          for (int32_t c = 0; c < C; ++c)
-            counts_out[c * nq + i] = src ? src[c] : 0;
-        } else {
-          int64_t* dst = counts_out + i * C;
-          for (int32_t c = 0; c < C; ++c) dst[c] = src ? src[c] : 0;
+        for (int64_t j = 0; j < cnt; ++j) {
+          const int64_t i = base + j;
+          const int64_t* src =
+              (hit_out[j + base] && counts != nullptr) ? counts + ix[j] * C
+                                                       : nullptr;
+          if (transpose_out) {
+            for (int32_t c = 0; c < C; ++c)
+              counts_out[c * nq + i] = src ? src[c] : 0;
+          } else {
+            int64_t* dst = counts_out + i * C;
+            for (int32_t c = 0; c < C; ++c) dst[c] = src ? src[c] : 0;
+          }
         }
       }
     }
