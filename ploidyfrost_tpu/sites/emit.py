@@ -70,6 +70,12 @@ class BubbleEmission:
 def _sorted_desc_by_cov_then_seq(covs: list[float], seqs: list[str]):
     """sortSeq_simple order: coverage desc, tie refseq desc
     (src/CDBG.cpp:482-551)."""
+    if len(covs) == 2:
+        # dominant case (biallelic); equal keys keep input order like
+        # the stable reverse sort below
+        if covs[0] != covs[1]:
+            return [0, 1] if covs[0] > covs[1] else [1, 0]
+        return [0, 1] if seqs[0] >= seqs[1] else [1, 0]
     idx = sorted(range(len(covs)), key=lambda i: (covs[i], seqs[i]), reverse=True)
     return idx
 
