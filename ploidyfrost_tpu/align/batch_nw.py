@@ -264,6 +264,15 @@ def needleman_wunsch_batch(
     from .nw import _nw_matrix, _traceback, nw_matrices_native
 
     mats = nw_matrices_native(pairs, match, dis_match, gap)
+    if mesh is not None:
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host: the DP inputs here are process-local arrays;
+            # every process runs the identical host/native DP instead
+            # (deterministic, and measured faster than device DP at
+            # these matrix sizes anyway)
+            mesh = None
     if mats is None and mesh is not None:
         try:
             mats = nw_matrices_batched(pairs, match, dis_match, gap, mesh)

@@ -271,11 +271,12 @@ def search_seeds(g: CDBGraph, seeds: np.ndarray, mesh=None):
         cap = 1 << max(n - 1, 1).bit_length()
     succ_padded = np.full((cap, 2, 4), -1, dtype=np.int32)
     succ_padded[:n] = g._succ
-    succ_node = jnp.asarray(succ_padded)
+    succ_node = None if jax.process_count() > 1 else jnp.asarray(succ_padded)
     if mesh is not None:
         from ..parallel.sharded import build_sharded_search_step
 
-        fn = build_sharded_search_step(mesh)
+        multi = jax.process_count() > 1
+        fn = build_sharded_search_step(mesh, gather=multi)
         n_dev = int(np.prod(list(mesh.shape.values())))
         per = -(-len(seeds) // n_dev)
         per = 1 << max(per - 1, 0).bit_length()  # pow2: bounded compiles
@@ -285,7 +286,33 @@ def search_seeds(g: CDBGraph, seeds: np.ndarray, mesh=None):
             chunk = np.concatenate(
                 [chunk, np.full(total - len(chunk), chunk[-1], np.int32)]
             )
-        res = fn(jnp.asarray(chunk), succ_node)
+        if multi:
+            # multi-HOST: every process holds the full seed list (all
+            # loaded the same graph); build the global sharded input
+            # from this process's contiguous slice, and replicate the
+            # successor table. Outputs come back fully replicated
+            # (all_gathered inside the step), so the host replay runs
+            # identically on every process.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            nproc = jax.process_count()
+            pid = jax.process_index()
+            local = total // nproc
+            s_seed = NamedSharding(mesh, PartitionSpec(("data", "shard")))
+            s_rep = NamedSharding(mesh, PartitionSpec(None, None, None))
+            chunk_g = jax.make_array_from_process_local_data(
+                s_seed,
+                np.ascontiguousarray(
+                    chunk[pid * local : (pid + 1) * local]
+                ),
+                global_shape=(total,),
+            )
+            succ_g = jax.make_array_from_process_local_data(
+                s_rep, succ_padded, global_shape=succ_padded.shape
+            )
+            res = fn(chunk_g, succ_g)
+        else:
+            res = fn(jnp.asarray(chunk), succ_node)
         nseen = np.asarray(res[2])[: len(seeds)]
         mx = max(1, int(nseen.max()))
         return [

@@ -284,10 +284,30 @@ class GmmModel:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 s = NamedSharding(self.mesh, PartitionSpec(("data", "shard")))
-                self._af_dev = (
-                    jax.device_put(af, s),
-                    jax.device_put(mask, s),
-                )
+                if jax.process_count() > 1:
+                    # multi-host: every process holds the full (small)
+                    # frequency vector; supply this process's slice of
+                    # the global sharded array (cap is a multiple of
+                    # the device count, hence of the process count)
+                    nproc = jax.process_count()
+                    pid = jax.process_index()
+                    loc = cap // nproc
+
+                    def _g(x):
+                        return jax.make_array_from_process_local_data(
+                            s,
+                            np.ascontiguousarray(
+                                x[pid * loc : (pid + 1) * loc]
+                            ),
+                            global_shape=(cap,),
+                        )
+
+                    self._af_dev = (_g(af), _g(mask))
+                else:
+                    self._af_dev = (
+                        jax.device_put(af, s),
+                        jax.device_put(mask, s),
+                    )
             else:
                 self._af_dev = (jnp.asarray(af), jnp.asarray(mask))
         return self._af_dev
@@ -443,7 +463,16 @@ def run_model(
     minaic = DBL_MAX
     ll_p = 0.0
     aic_p = 0.0
-    with open(out_prefix + "_model_result.txt", "w") as outfile:
+    from ..parallel.mesh import is_primary
+
+    # multi-host: every process fits the identical model; only process
+    # 0 writes the result file (shared filesystem)
+    import os as _os
+
+    result_path = (
+        out_prefix + "_model_result.txt" if is_primary() else _os.devnull
+    )
+    with open(result_path, "w") as outfile:
         for g in range(gauss_lower, gauss_upper + 1):
             model.resize(g)
             model.em_iterate()

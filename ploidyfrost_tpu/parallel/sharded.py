@@ -621,7 +621,7 @@ def build_sharded_ll_step(mesh: Mesh):
     return jax.jit(step_sharded)
 
 
-def build_sharded_search_step(mesh: Mesh):
+def build_sharded_search_step(mesh: Mesh, gather: bool = False):
     """Multi-chip superbubble search: the per-seed bounded DFS
     (bubble/batched.search_one) shard_mapped over the FLATTENED mesh.
 
@@ -643,6 +643,28 @@ def build_sharded_search_step(mesh: Mesh):
 
     batched = _search_batched(MAX_SEEN, MAX_STACK, MAX_STEPS)
     axes = ("data", "shard")
+    if gather:
+        # multi-HOST runs: all_gather the per-seed outputs inside the
+        # program so every process holds the FULL result arrays (a
+        # sharded output is not fully addressable across processes, so
+        # the host replay could not fetch it). tiled=True concatenates
+        # in flattened (data, shard) order — the same order the input
+        # seeds were partitioned in, so seed order is preserved.
+        def gathered(seeds, succ_node):
+            outs = batched(seeds, succ_node)
+            return tuple(
+                jax.lax.all_gather(o, axes, axis=0, tiled=True)
+                for o in outs
+            )
+
+        step = shard_map(
+            gathered,
+            mesh=mesh,
+            in_specs=(P(axes), P(None, None, None)),
+            out_specs=(P(), P(), P(), P(None, None), P()),
+            check_vma=False,
+        )
+        return jax.jit(step)
     step = shard_map(
         batched,
         mesh=mesh,

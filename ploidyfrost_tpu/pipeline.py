@@ -198,9 +198,14 @@ def run_colored_analysis(opt) -> int:
         _log(f"CCDBG:: Database {i} Minimum Coverage:{lo}")
         _log(f"CCDBG:: Maximum Coverage:{up}")
 
+    # multi-host: only process 0 writes artifacts (see run_analysis)
+    from .parallel.mesh import is_primary
+
+    primary = is_primary()
     os.makedirs("PloidyFrost_output", exist_ok=True)
-    g.set_unitig_id(opt.outprefix)
-    write_graph_info_colored(g, colors, opt.outprefix, opt.verbose)
+    if primary:
+        g.set_unitig_id(opt.outprefix)
+        write_graph_info_colored(g, colors, opt.outprefix, opt.verbose)
 
     from .parallel.mesh import resolve_mesh
 
@@ -223,7 +228,8 @@ def run_colored_analysis(opt) -> int:
     state, bubbles = find_superbubbles(
         g, opt.complex_size, colors, mesh=resolve_mesh()
     )
-    write_superbubble_file(g, bubbles, opt.outprefix)
+    if primary:
+        write_superbubble_file(g, bubbles, opt.outprefix)
     _log(f"CCDBG::findSuperBubble(): Real time : {time.time() - t0}s")
     _log(f"CCDBG::findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
     # reference parity: check_ProgramOptions FORCES bubble=true and p
@@ -243,7 +249,12 @@ def run_colored_analysis(opt) -> int:
     )
     wcov = window_coverage_colored(dbs, window_strings, cutoffs)
     stats = write_outputs_colored(
-        emissions, wcov, window_colors, colors.n_colors, opt.outprefix
+        emissions,
+        wcov,
+        window_colors,
+        colors.n_colors,
+        opt.outprefix,
+        **({} if primary else {"outdir": None}),
     )
     _log(f"CCDBG::PloidyEstimation(): Real time : {time.time() - t0}s")
     a = stats["allele"]
@@ -284,9 +295,17 @@ def run_analysis(opt) -> int:
 
     db = load_count_db(opt.db, g.k)
 
+    # multi-host runs (PLOIDYFROST_COORDINATOR): every process computes
+    # the identical tables (the search is distributed over the global
+    # mesh, the host tail is redundant); only process 0 writes the
+    # shared-filesystem artifacts — same contract as the count path
+    from .parallel.mesh import is_primary
+
+    primary = is_primary()
     os.makedirs("PloidyFrost_output", exist_ok=True)
-    g.set_unitig_id(opt.outprefix)
-    g.write_graph_info(opt.outprefix)
+    if primary:
+        g.set_unitig_id(opt.outprefix)
+        g.write_graph_info(opt.outprefix)
     if opt.verbose:
         _log(">>>>>>>>>Graph Information>>>>>>>>>")
         _log(
@@ -322,7 +341,8 @@ def run_analysis(opt) -> int:
         state, bubbles = find_superbubbles(
             g, opt.complex_size, mesh=resolve_mesh()
         )
-    write_superbubble_file(g, bubbles, opt.outprefix)
+    if primary:
+        write_superbubble_file(g, bubbles, opt.outprefix)
     _log(f"findSuperBubble(): Real time : {time.time() - t0}s")
     _log(f"findSuperBubble(): {len(bubbles)}  SuperBubbles Found")
     # reference parity: -b never stops the run (see run_colored_analysis)
@@ -347,7 +367,12 @@ def run_analysis(opt) -> int:
         wcov = window_coverage(
             db, window_strings, opt.coverage_lower, opt.coverage_upper
         )
-        stats = write_outputs(emissions, wcov, opt.outprefix)
+        stats = write_outputs(
+            emissions,
+            wcov,
+            opt.outprefix,
+            **({} if primary else {"outdir": None}),
+        )
     _log(f"PloidyEstimation(): Real time : {time.time() - t0}s")
     a = stats["allele"]
     _log(

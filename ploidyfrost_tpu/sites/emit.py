@@ -738,12 +738,19 @@ def write_outputs(
     window_cov: window string -> (mean cov, within-bounds flag) from the
     batched device lookup.
     Returns summary stats {allele: [n2,n3,n4,n5], core_cov, core_num}.
+
+    ``outdir=None`` computes the stats but discards the table bytes
+    (multi-host non-primary processes: every process runs the identical
+    emission, only process 0 keeps the files).
     """
     import os
 
-    os.makedirs(outdir, exist_ok=True)
+    if outdir is not None:
+        os.makedirs(outdir, exist_ok=True)
 
     def op(name):
+        if outdir is None:
+            return open(os.devnull, "w")
         return open(os.path.join(outdir, outpre + name), "w")
 
     allele = [0, 0, 0, 0]

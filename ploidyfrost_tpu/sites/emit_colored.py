@@ -673,12 +673,17 @@ def write_outputs_colored(
     outdir: str = "PloidyFrost_output",
 ) -> dict:
     """Pass 2: resolve pending per-color coverages and write the colored
-    output tables (row formats src/CCDBG.cpp:3021-3046, 3300-3330)."""
+    output tables (row formats src/CCDBG.cpp:3021-3046, 3300-3330).
+    ``outdir=None`` computes stats but discards bytes (multi-host
+    non-primary processes, see sites/emit.write_outputs)."""
     import os
 
-    os.makedirs(outdir, exist_ok=True)
+    if outdir is not None:
+        os.makedirs(outdir, exist_ok=True)
 
     def op(name):
+        if outdir is None:
+            return open(os.devnull, "w")
         return open(os.path.join(outdir, outpre + name), "w")
 
     C = n_colors
