@@ -173,10 +173,13 @@ class CDBGraph:
         suf_plus = tail & mask_k1  # last k-1 bases of s
         suf_minus = revcomp_np(head >> np.uint64(2), k - 1)  # of revcomp(s)
         top = len(ekeys) - 1
+        from ..kmer.countdb import SortedU64Index
+
+        eindex = SortedU64Index(ekeys, 2 * k)
         for strand, suf in ((1, suf_plus), (0, suf_minus)):
             for b in range(4):
                 q = (suf << np.uint64(2)) | np.uint64(b)
-                pos = np.minimum(np.searchsorted(ekeys, q), top)
+                pos = np.minimum(eindex.lower_bound(q), top)
                 hit = ekeys[pos] == q
                 succ[:, strand, b] = np.where(hit, evals[pos], -1)
         self._succ = succ

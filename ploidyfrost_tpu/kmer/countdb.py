@@ -67,6 +67,55 @@ def _fused_native_lookup(index, q, counts_2d, C, transpose=False):
     return out, hit.astype(bool)
 
 
+class SortedU64Index:
+    """Reusable native bucketed lower_bound over a sorted uint64 table:
+    np.searchsorted semantics through the block-prefetched kernel
+    (native/lookup.cpp pf_lookup_u64_b). Builds the adaptive prefix LUT
+    once; falls back to np.searchsorted without the native library.
+    Used by the adjacency build (graph/cdbg._build_adjacency), whose 8
+    entry-k-mer probes were the GFA load's dominant term after the
+    packing fix."""
+
+    def __init__(self, table: np.ndarray, key_bits: int):
+        self.table = np.ascontiguousarray(table, dtype=np.uint64)
+        n = len(self.table)
+        bits = min(22, max(16, max(n, 1).bit_length()))
+        bits = min(bits, key_bits)
+        self.shift = key_bits - bits
+        nb = 1 << bits
+        cnt = np.bincount(
+            (self.table >> np.uint64(self.shift)).astype(np.int64),
+            minlength=nb,
+        )
+        self.lut = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(cnt, out=self.lut[1:])
+        self.bmax = nb - 1
+
+    def lower_bound(self, q: np.ndarray) -> np.ndarray:
+        from ..native import load_lookup_library
+
+        lib = load_lookup_library()
+        if lib is None or len(q) < 4096:
+            return np.searchsorted(self.table, q)
+        import ctypes
+
+        q = np.ascontiguousarray(q, dtype=np.uint64)
+        out = np.empty(len(q), dtype=np.int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.pf_lookup_u64_b(
+            self.table.ctypes.data_as(u64p),
+            ctypes.c_int64(len(self.table)),
+            self.lut.ctypes.data_as(i64p),
+            ctypes.c_int32(self.shift),
+            ctypes.c_int64(self.bmax),
+            q.ctypes.data_as(u64p),
+            ctypes.c_int64(len(q)),
+            out.ctypes.data_as(i64p),
+        )
+        return out
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def _lookup(table_km, table_ct, queries, k):
     canon = canonical_kmers(queries, k)

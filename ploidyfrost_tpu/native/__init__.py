@@ -227,5 +227,9 @@ def load_lookup_library():
             u64p, ctypes.c_int32,
         ]
         lib.pf_extract_kmers.restype = None
+        lib.pf_pack_codes.argtypes = [
+            u8p, i64p, i64p, ctypes.c_int64, u64p, ctypes.c_int32,
+        ]
+        lib.pf_pack_codes.restype = None
 
     return _load_simple("lookup.cpp", "libpflookup.so", _lookup_state, sig)

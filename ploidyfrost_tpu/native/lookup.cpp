@@ -210,6 +210,70 @@ void pf_extract_kmers(const uint64_t* words, int64_t nwords,
   for (auto& th : threads) th.join();
 }
 
+// Pack flat per-unitig base codes (0..3) into the SeqStore word layout:
+// each unitig starts on a fresh uint64, 32 LSB-first 2-bit codes per
+// word (base j of a unitig sits at bits [2j, 2j+2) of word j/32). The
+// native counterpart of SeqStore.from_codes (graph/seqstore.py): one
+// linear pass instead of the numpy per-base scatter, which costs ~40 s
+// at 62M bases (the 50 Mbp GFA load's dominant term). words must be
+// zero-initialized by the caller. Threaded over unitigs, split at
+// base-count-balanced cut points.
+void pf_pack_codes(const uint8_t* codes, const int64_t* off_b,
+                   const int64_t* off_w, int64_t n, uint64_t* words,
+                   int32_t n_threads) {
+  if (n == 0) return;
+  const int64_t total_b = off_b[n];
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (total_b < (1 << 18)) nt = 1;
+  auto work = [&](int64_t u_lo, int64_t u_hi) {
+    for (int64_t u = u_lo; u < u_hi; ++u) {
+      const uint8_t* src = codes + off_b[u];
+      const int64_t len = off_b[u + 1] - off_b[u];
+      uint64_t* dst = words + off_w[u];
+      const int64_t full = len >> 5;
+      for (int64_t w = 0; w < full; ++w) {
+        const uint8_t* s = src + (w << 5);
+        uint64_t v = 0;
+        for (int b = 0; b < 32; ++b)
+          v |= (uint64_t)(s[b] & 3) << (2 * b);
+        dst[w] = v;
+      }
+      const int64_t rem = len - (full << 5);
+      if (rem) {
+        const uint8_t* s = src + (full << 5);
+        uint64_t v = 0;
+        for (int64_t b = 0; b < rem; ++b)
+          v |= (uint64_t)(s[b] & 3) << (2 * b);
+        dst[full] = v;
+      }
+    }
+  };
+  if (nt == 1) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  int64_t prev = 0;
+  for (int t = 0; t < nt; ++t) {
+    int64_t cut;
+    if (t == nt - 1) {
+      cut = n;
+    } else {
+      // balance on bases: first unitig whose start passes the quota
+      const int64_t target = total_b * (t + 1) / nt;
+      cut = std::lower_bound(off_b, off_b + n + 1, target) - off_b;
+      if (cut < prev) cut = prev;
+      if (cut > n) cut = n;
+    }
+    threads.emplace_back(work, prev, cut);
+    prev = cut;
+  }
+  for (auto& th : threads) th.join();
+}
+
 // Backwards-compatible row-major entry point.
 void pf_lookup_canon_multi(const uint64_t* table, int64_t n,
                            const int64_t* lut, int32_t shift, int32_t k,
