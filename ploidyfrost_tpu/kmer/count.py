@@ -292,10 +292,19 @@ class KmerCounter:
         k: int,
         counter_max: int = DEFAULT_COUNTER_MAX,
         initial_capacity: int = 1 << 20,
-        buffer_capacity: int = 8 << 20,
+        buffer_capacity: int | None = None,
     ):
         if not 1 <= k <= 31:
             raise ValueError("k must be in [1, 31] for single-word packing")
+        if buffer_capacity is None:
+            # accelerators: a 32M-instance buffer (256 MB of device
+            # memory) quarters the collapse count vs 8M — measured
+            # 8.1 s -> 5.6 s on the bench5m ingest (each collapse costs
+            # a host sync over the tunnel; fewer, bigger sorts win).
+            # CPU (tests) keeps the smaller footprint.
+            buffer_capacity = (
+                8 << 20 if jax.default_backend() == "cpu" else 32 << 20
+            )
         self.k = k
         self.counter_max = counter_max
         cap = _pow2(initial_capacity)
