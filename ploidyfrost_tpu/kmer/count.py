@@ -89,6 +89,71 @@ def _pack_nibbles_host(codes: np.ndarray) -> np.ndarray:
     return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
 
 
+def _pack_2bit_host(codes: np.ndarray) -> np.ndarray:
+    """[B, L] u8 codes -> [B, ceil(L/4)] u8, 4 codes/byte LSB-first.
+    Invalid markers are masked to 2 bits — validity travels separately
+    as per-row lengths (see add_reads), NOT in the codes."""
+    B, L = codes.shape
+    pad = (-L) % 4
+    if pad:
+        codes = np.concatenate(
+            [codes, np.zeros((B, pad), np.uint8)], axis=1
+        )
+    c = codes & 3
+    return (
+        c[:, 0::4]
+        | (c[:, 1::4] << 2)
+        | (c[:, 2::4] << 4)
+        | (c[:, 3::4] << 6)
+    ).astype(np.uint8)
+
+
+def _unpack_2bit(packed, L):
+    """[B, W] u8 (4 codes/byte) -> [B, L] u8 codes."""
+    import jax.numpy as jnp
+
+    B, W = packed.shape
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    u = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    return u.reshape(B, 4 * W)[:, :L]
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8), donate_argnums=(0, 1))
+def _extract_append_2bit(bhi, blo, nvalid, packed2, lens, fill, k, L,
+                         use_pallas=False):
+    """_extract_append for the 2-bit transfer path: reads travel at 4
+    codes/byte (half the nibble path's bytes — the tunnel is the
+    counting bottleneck) plus a per-row valid-length vector; validity
+    is reconstructed on device as (column < length) and re-marked with
+    the 0xF invalid code the extraction kernels already understand.
+    Only suffix-invalid rows qualify (add_reads checks; mid-read Ns
+    fall back to the nibble path)."""
+    codes = _unpack_2bit(packed2, L)
+    col = jnp.arange(L, dtype=jnp.int32)
+    codes = jnp.where(
+        col[None, :] < lens[:, None], codes, jnp.uint8(0x0F)
+    )
+    if use_pallas:
+        from .pallas_extract import kernel_call
+
+        hi, lo = kernel_call(codes, k)
+        hi = hi.ravel()
+        lo = lo.ravel()
+        nv = jnp.sum(hi != jnp.uint32(SENT32), dtype=jnp.int64)
+    else:
+        canon, valid = batch_kmers(codes, k)
+        canon = canon.ravel()
+        valid = valid.ravel()
+        hi = jnp.where(
+            valid, (canon >> jnp.uint64(32)).astype(jnp.uint32), SENT32
+        )
+        lo = jnp.where(valid, canon.astype(jnp.uint32), SENT32)
+        nv = jnp.sum(valid, dtype=jnp.int64)
+    bhi = jax.lax.dynamic_update_slice(bhi, hi, (fill,))
+    blo = jax.lax.dynamic_update_slice(blo, lo, (fill,))
+    return bhi, blo, nvalid + nv
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6), donate_argnums=(0, 1))
 def _extract_append(bhi, blo, nvalid, codes, fill, k, packed=False):
     """Fused pack + canonicalize + buffer append: ONE dispatch per read
@@ -357,14 +422,30 @@ class KmerCounter:
             return
         if self._fill + n > self._buf_cap:
             self.flush()
+        use_pallas = _extract_backend(shape, self.k)
+        if packed:
+            # 2-bit transfer (4 codes/byte, half the nibble bytes) when
+            # every row's invalid codes form a suffix — then validity is
+            # just a per-row length. Mid-read Ns (rare) take the nibble
+            # path, which carries the invalid marker in-band.
+            invalid = codes > 3
+            if not (invalid[:, :-1] & ~invalid[:, 1:]).any():
+                lens = (shape[1] - invalid.sum(axis=1)).astype(np.int32)
+                self._bhi, self._blo, self._n_valid_dev = (
+                    _extract_append_2bit(
+                        self._bhi, self._blo, self._n_valid_dev,
+                        jnp.asarray(_pack_2bit_host(codes)),
+                        jnp.asarray(lens),
+                        jnp.int32(self._fill), self.k, shape[1],
+                        use_pallas,
+                    )
+                )
+                self._fill += n
+                return
         dev = jnp.asarray(_pack_nibbles_host(codes) if packed else codes)
         # fast path: fused pack+canon+append, one dispatch per batch;
         # on TPU the extraction inside is the Pallas kernel
-        step = (
-            _extract_append_pallas
-            if _extract_backend(shape, self.k)
-            else _extract_append
-        )
+        step = _extract_append_pallas if use_pallas else _extract_append
         self._bhi, self._blo, self._n_valid_dev = step(
             self._bhi, self._blo, self._n_valid_dev, dev,
             jnp.int32(self._fill), self.k, packed,

@@ -215,3 +215,60 @@ def test_nibble_packed_extract_matches_unpacked():
     np.testing.assert_array_equal(np.asarray(a_hi), np.asarray(b_hi))
     np.testing.assert_array_equal(np.asarray(a_lo), np.asarray(b_lo))
     assert int(a_nv) == int(b_nv) > 0
+
+
+def test_2bit_packed_extract_matches_unpacked():
+    """The 2-bit transfer path (4 codes/byte + per-row valid lengths)
+    must fill the identical instance buffer as the unpacked step for
+    suffix-invalid batches — exercised on CPU by calling the jitted
+    step directly (the dispatcher only packs on accelerators)."""
+    import jax.numpy as jnp
+
+    from ploidyfrost_tpu.kmer.count import (
+        SENT32,
+        _extract_append,
+        _extract_append_2bit,
+        _pack_2bit_host,
+    )
+
+    rng = np.random.default_rng(6)
+    B, L, k = 32, 67, 25  # L % 4 != 0: exercises the pack padding
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    codes[3, 10:] = 0x0F  # padding tail
+    codes[7, :] = 0x0F  # fully-invalid padding row
+    lens = (L - (codes > 3).sum(axis=1)).astype(np.int32)
+    cap = B * (L - k + 1)
+
+    def fresh():
+        return (
+            jnp.full((cap,), SENT32, dtype=jnp.uint32),
+            jnp.full((cap,), SENT32, dtype=jnp.uint32),
+            jnp.zeros((), dtype=jnp.int64),
+        )
+
+    bhi, blo, nv = fresh()
+    a_hi, a_lo, a_nv = _extract_append(
+        bhi, blo, nv, jnp.asarray(codes), jnp.int32(0), k, False
+    )
+    bhi, blo, nv = fresh()
+    b_hi, b_lo, b_nv = _extract_append_2bit(
+        bhi, blo, nv,
+        jnp.asarray(_pack_2bit_host(codes)),
+        jnp.asarray(lens),
+        jnp.int32(0), k, L, False,
+    )
+    np.testing.assert_array_equal(np.asarray(a_hi), np.asarray(b_hi))
+    np.testing.assert_array_equal(np.asarray(a_lo), np.asarray(b_lo))
+    assert int(a_nv) == int(b_nv) > 0
+
+
+def test_2bit_dispatch_rejects_midread_n():
+    """A mid-read N is not suffix-invalid: the dispatcher must use the
+    nibble path (checked via the suffix-invalid predicate itself)."""
+    codes = np.zeros((4, 12), dtype=np.uint8)
+    codes[1, 5] = 0x0F  # N mid-read, valid bases after
+    invalid = codes > 3
+    assert (invalid[:, :-1] & ~invalid[:, 1:]).any()
+    codes[1, 5:] = 0x0F  # suffix from there on -> qualifies again
+    invalid = codes > 3
+    assert not (invalid[:, :-1] & ~invalid[:, 1:]).any()
