@@ -3,7 +3,7 @@ sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/.axon_site")
 import numpy as np
 
-reads = "/root/repo/.scratch/bench/reads5m.fa"
+reads = "/tmp/reads5m.fa"
 K = 25
 
 from ploidyfrost_tpu.io.fastx import read_batches
