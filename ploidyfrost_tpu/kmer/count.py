@@ -229,6 +229,21 @@ def _join_u64(hi, lo):
     return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
 
 
+@jax.jit
+def _delta_compress(hi, lo):
+    """Sorted-key wire compression for arrays(): gaps between adjacent
+    keys as uint32 (gaps[0] = 0), the count of gaps overflowing 32 bits
+    (fetch decides the fallback), and the first key. Gap values are
+    computed in u64; an overflowing gap makes nover > 0 and the caller
+    refetches raw keys instead."""
+    km = _join_u64(hi, lo)
+    prev = jnp.concatenate([km[:1], km[:-1]])
+    d = km - prev
+    over = d > jnp.uint64(0xFFFFFFFF)
+    d32 = d.astype(jnp.uint32)
+    return d32, jnp.sum(over, dtype=jnp.int32), km[0]
+
+
 def _collapse(thi, tlo, tct, bhi, blo, counter_max):
     """Collapse `bhi/blo` instance buffer into the unique table.
 
@@ -519,16 +534,44 @@ class KmerCounter:
 
     def arrays(self):
         """(sorted unique canonical k-mers u64, saturated counts int64)
-        trimmed to live size, as HOST numpy arrays. Counts cross the
-        wire as int32 (saturation cap 10000 makes int64 transfer pure
-        padding — the remote tunnel moves ~35 MB/s) and upcast on host
-        so callers keep int64 semantics."""
+        trimmed to live size, as HOST numpy arrays.
+
+        Transfer compression (the tunnel moves ~25 MB/s D2H and the
+        fetch dominated 50 Mbp finalization at 30 s): the SORTED keys
+        travel as first-key + uint32 gaps (reconstructed by one host
+        cumsum) when no gap overflows 32 bits — a scalar overflow-count
+        fetch decides, falling back to raw u64 keys (gaps average
+        2^(2k)/n, so real tables never fall back); counts travel as
+        uint16 when counter_max fits (default cap 10000 does). Halves
+        the finalize bytes vs the former u64+int32."""
         self.flush()
         n = self._n_live
-        km = np.asarray(_join_u64(self._thi[:n], self._tlo[:n]))
-        ct = np.asarray(
-            jnp.minimum(self._tct[:n], self.counter_max).astype(jnp.int32)
-        )
+        km_hi = self._thi[:n]
+        km_lo = self._tlo[:n]
+        if n > (1 << 16) and jax.default_backend() != "cpu":
+            d32, nover, first = _delta_compress(km_hi, km_lo)
+            if int(nover) == 0:
+                gaps = np.asarray(d32).astype(np.uint64)
+                km = np.empty(n, dtype=np.uint64)
+                km[0] = np.uint64(int(first))
+                np.cumsum(gaps[1:], out=km[1:])
+                km[1:] += km[0]
+            else:
+                km = np.asarray(_join_u64(km_hi, km_lo))
+        else:
+            km = np.asarray(_join_u64(km_hi, km_lo))
+        if self.counter_max < (1 << 16):
+            ct = np.asarray(
+                jnp.minimum(self._tct[:n], self.counter_max).astype(
+                    jnp.uint16
+                )
+            )
+        else:
+            ct = np.asarray(
+                jnp.minimum(self._tct[:n], self.counter_max).astype(
+                    jnp.int32
+                )
+            )
         return km, ct.astype(np.int64)
 
     def histogram(self, max_cov: int | None = None) -> np.ndarray:

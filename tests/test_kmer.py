@@ -272,3 +272,35 @@ def test_2bit_dispatch_rejects_midread_n():
     codes[1, 5:] = 0x0F  # suffix from there on -> qualifies again
     invalid = codes > 3
     assert not (invalid[:, :-1] & ~invalid[:, 1:]).any()
+
+
+def test_delta_compress_roundtrip_and_overflow():
+    """arrays() wire compression: uint32 gaps reconstruct the sorted
+    keys exactly; a >32-bit gap is counted so the caller falls back."""
+    import jax.numpy as jnp
+
+    from ploidyfrost_tpu.kmer.count import _delta_compress
+
+    rng = np.random.default_rng(8)
+    # keyspace chosen so gaps stay under 2^32 (k=25 tables: 2^50
+    # keyspace over millions of keys — same regime)
+    km = np.unique(
+        rng.integers(0, 1 << 40, 100_000, dtype=np.uint64)
+    )
+    hi = (km >> np.uint64(32)).astype(np.uint32)
+    lo = km.astype(np.uint32)
+    d32, nover, first = _delta_compress(jnp.asarray(hi), jnp.asarray(lo))
+    assert int(nover) == 0
+    gaps = np.asarray(d32).astype(np.uint64)
+    out = np.empty(len(km), dtype=np.uint64)
+    out[0] = np.uint64(int(first))
+    np.cumsum(gaps[1:], out=out[1:])
+    out[1:] += out[0]
+    np.testing.assert_array_equal(out, km)
+
+    km2 = np.array([5, 6, 6 + (1 << 33)], dtype=np.uint64)
+    d32, nover, _ = _delta_compress(
+        jnp.asarray((km2 >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(km2.astype(np.uint32)),
+    )
+    assert int(nover) == 1
