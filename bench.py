@@ -73,7 +73,7 @@ N_BATCHES = 12  # ~95M k-mer instances; 16k-row batches
 GENOME_BP = 5_000_000
 HET = 0.01
 DEPTH = 25
-N_RUNS = 3
+N_RUNS = 5  # construction: 58% spread observed at n=3 (r5 precheck)
 COUNT_RUNS = 5  # tunnel-noisy (30% spread at n=3 in r4): more samples
 COLORED_RUNS = 5
 
@@ -182,6 +182,7 @@ def bench_construction(workdir: str):
         "vs_baseline": round(BASELINE_BUILD_WALL_S / v, 3),
         "n": N_RUNS,
         "spread_pct": spread,
+        "runs": _runs_field(vals),
     }
 
 
